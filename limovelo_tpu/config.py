@@ -1,0 +1,238 @@
+"""Configuration system.
+
+Frozen dataclass mirror of the reference's rosparam loader
+(`/root/reference/src/main.cpp:135-176`, struct at
+`include/Headers/Common.hpp:56-107`), with the same parameter names and
+defaults, plus TPU-specific sizing knobs (hash-map capacity, padding buckets)
+the reference does not need.  Unlike the reference — which mutates the global
+`Params Config` at runtime when per-point timestamps are missing
+(`Accumulator.cpp:183-185`) — this config is immutable; the missing-timestamp
+fallback is explicit state in the runtime (see runtime/accumulator.py).
+
+Per-dataset YAML profiles (config/*.yaml in the reference) are supported via
+``Config.from_yaml`` and shipped under ``limovelo_tpu/profiles/``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+def _ident9() -> Tuple[float, ...]:
+    return (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+@dataclass(frozen=True)
+class InitializationParams:
+    """Warm-up delta schedule (`config/params.yaml:59-66`).
+
+    ``deltas`` must have exactly one more entry than ``times``
+    (`Accumulator.cpp:124-127`).  Entry k applies while
+    ``t - initial_time < times[k]``; the last delta applies afterwards.
+    """
+
+    times: Tuple[float, ...] = ()
+    deltas: Tuple[float, ...] = (0.1,)
+
+    def delta_at(self, t_since_init: float) -> float:
+        # interpret_initialization, Accumulator.cpp:165-176
+        assert len(self.times) + 1 == len(self.deltas), (
+            "There has to be exactly one more delta value than time delimiters"
+        )
+        for k, tk in enumerate(self.times):
+            if t_since_init < tk:
+                return self.deltas[k]
+        return self.deltas[-1]
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- Online/offline (main.cpp:137-138) ---
+    mapping_online: bool = True
+    real_time: bool = True
+
+    # --- Extrinsics (main.cpp:139-140, 172-174) ---
+    estimate_extrinsics: bool = False
+    print_extrinsics: bool = False
+    initial_gravity: Tuple[float, float, float] = (0.0, 0.0, -9.807)
+    I_Translation_L: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    I_Rotation_L: Tuple[float, ...] = field(default_factory=_ident9)
+
+    # --- Downsampling (main.cpp:141-142) ---
+    downsample_rate: int = 4
+    downsample_prec: float = 0.2
+
+    # --- Publishing (main.cpp:143) ---
+    high_quality_publish: bool = False
+
+    # --- Estimator budget (main.cpp:144-149) ---
+    MAX_NUM_ITERS: int = 3
+    LIMITS: float = 0.001           # reference: vector(23, 0.001)
+    NUM_MATCH_POINTS: int = 5
+    MAX_POINTS2MATCH: int = 10
+    MAX_DIST_PLANE: float = 2.0
+    PLANES_THRESHOLD: float = 0.1
+    PLANES_CHOOSE_CONSTANT: float = 9.0   # declared, unused in reference too
+
+    # --- LiDAR (main.cpp:151-154) ---
+    LiDAR_type: str = "unknown"      # velodyne | hesai | ouster | custom
+    LiDAR_noise: float = 0.001       # measurement variance of point-plane dist
+    min_dist: float = 3.0
+    full_rotation_time: float = 0.1
+    offset_beginning: bool = False
+    stamp_beginning: bool = False
+
+    # --- IMU (main.cpp:155) ---
+    imu_rate: float = 400.0
+
+    # --- Degeneracy gating (main.cpp:156-157; fork extension of IKFoM) ---
+    degeneracy_threshold: float = 5.0
+    print_degeneracy_values: bool = False
+
+    # --- Delays (main.cpp:159-160) ---
+    empty_lidar_time: float = 20.0
+    real_time_delay: float = 1.0
+
+    # --- Process noise covariances (main.cpp:161-164) ---
+    covariance_gyroscope: float = 1e-4
+    covariance_acceleration: float = 1e-2
+    covariance_bias_gyroscope: float = 1e-5
+    covariance_bias_acceleration: float = 1e-4
+
+    # --- Velocity multipliers (main.cpp:165-167; unused in ref pipeline) ---
+    wx_MULTIPLIER: float = 1.0
+    wy_MULTIPLIER: float = 1.0
+    wz_MULTIPLIER: float = 1.0
+
+    # --- Topics (main.cpp:168-169); used by the rosbag reader ---
+    points_topic: str = "/velodyne_points"
+    imus_topic: str = "/vectornav/IMU"
+
+    # --- Warm-up schedule (main.cpp:170-171) ---
+    Initialization: InitializationParams = field(default_factory=InitializationParams)
+
+    # ------------------------------------------------------------------
+    # TPU-native knobs (no reference analog)
+    # ------------------------------------------------------------------
+    map_voxel_size: float = 0.2      # ikd-Tree downsample resolution (Mapper.cpp:65)
+    map_coarse_factor: int = 4       # coarse bucket edge, in fine voxels
+    map_table_size: int = 1 << 17    # hash buckets (coarse voxels)
+    map_probe_length: int = 8        # max linear-probe distance
+    knn_rings: int = 1               # neighbor rings gathered for KNN (1 => 27)
+    point_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192, 16384)
+    ds_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
+    imu_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
+    dtype: str = "float32"
+
+    # ------------------------------------------------------------------
+    @property
+    def gravity_vec(self) -> Tuple[float, float, float]:
+        """The gravity vector used in dynamics: v̇ = R(a−ba) + g.
+
+        The reference stores config gravity and subtracts it
+        (`State.cpp:104-105`); IKFoM stores the negated config vector and adds
+        (`Localizator.cpp:139`).  We follow the latter everywhere.
+        """
+        gx, gy, gz = self.initial_gravity
+        return (-gx, -gy, -gz)
+
+    @property
+    def map_coarse_size(self) -> float:
+        return self.map_voxel_size * self.map_coarse_factor
+
+    @property
+    def map_slots(self) -> int:
+        return self.map_coarse_factor ** 3
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def bucket_for(self, n: int, buckets: Tuple[int, ...]) -> int:
+        """Smallest padding bucket that fits n items (bounds recompiles)."""
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        d = dict(d)
+        # accept reference YAML aliases
+        alias = {
+            "covariance_gyroscope": "covariance_gyroscope",
+            "ds_rate": "downsample_rate",
+        }
+        for src, dst in alias.items():
+            if src in d and dst not in d:
+                d[dst] = d.pop(src)
+        init = d.pop("Initialization", None)
+        kw = {}
+        fields = {f.name for f in dataclasses.fields(cls)}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        if init is not None:
+            kw["Initialization"] = InitializationParams(
+                times=tuple(init.get("times", ())),
+                deltas=tuple(init.get("deltas", (kw.get("full_rotation_time", 0.1),))),
+            )
+        return cls(**kw)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        import yaml  # lazy; pyyaml is in the image
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+
+#: Profile equivalent to the reference's config/kitti.yaml
+KITTI = Config(
+    mapping_online=True,
+    real_time=False,
+    initial_gravity=(0.0, 0.0, +9.807),
+    I_Translation_L=(-8.086759e-01, 3.195559e-01, -7.997231e-01),
+    I_Rotation_L=(
+        9.999976e-01, 7.553071e-04, -2.035826e-03,
+        -7.854027e-04, 9.998898e-01, -1.482298e-02,
+        2.024406e-03, 1.482454e-02, 9.998881e-01,
+    ),
+    empty_lidar_time=1.0,
+    real_time_delay=0.5,
+    LiDAR_type="velodyne",
+    LiDAR_noise=0.001,
+    full_rotation_time=0.10,
+    min_dist=4.0,
+    downsample_rate=4,
+    imu_rate=1000.0,
+    covariance_gyroscope=1e-1,
+    covariance_acceleration=1e-1,
+    covariance_bias_gyroscope=1e-4,
+    covariance_bias_acceleration=1e-4,
+    MAX_DIST_PLANE=2.23,
+    PLANES_THRESHOLD=1e-1,
+    degeneracy_threshold=400.0,
+    Initialization=InitializationParams(times=(), deltas=(0.1,)),
+)
+
+#: Profile equivalent to the reference's config/params.yaml defaults
+DEFAULT = Config(
+    mapping_online=True,
+    real_time=False,
+    high_quality_publish=True,
+    empty_lidar_time=0.1,
+    real_time_delay=0.1,
+    LiDAR_type="velodyne",
+    min_dist=4.0,
+    downsample_prec=0.5,
+    imu_rate=200.0,
+    PLANES_THRESHOLD=5e-2,
+    Initialization=InitializationParams(times=(0.5, 1.0), deltas=(0.1, 0.05, 0.02)),
+)

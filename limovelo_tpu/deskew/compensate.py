@@ -1,0 +1,155 @@
+"""Motion deskew (compensation).
+
+TPU-native replacement for the reference `Compensator`
+(`/root/reference/src/Modules/Compensator.cpp`):
+
+- `build_path` ≈ `Compensator::path/upsample` (Compensator.cpp:36-49,71-103):
+  integrate the anchor state (latest corrected state at/before t1) through the
+  IMU samples covering (t_anchor, t2], producing a fixed-shape array of path
+  nodes.  The reference's merge-sort of states+IMUs degenerates to this single
+  chain because BUFFER_X holds only corrected states and
+  t1 ≥ last_time_updated (main.cpp:69), so at most one state precedes the
+  window — we exploit that and keep the whole thing one `lax.scan`.
+
+- `compensate` ≈ `Compensator::compensate` per-point loop
+  (Compensator.cpp:123-146), but batched: every point finds its bracketing
+  node with one vectorized `searchsorted`, integrates the residual dt in
+  closed form, and is mapped into the LiDAR frame at t2.  Hot loop #2 of the
+  reference (SURVEY.md §3.5) becomes a handful of fused elementwise ops.
+
+Frames:  p_lidar --(T_IL = I_Rt_L)--> p_imu --(X_tp)--> world
+         then world --(X_t2 · T_IL)⁻¹--> lidar@t2.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..filter.process import ImuWindow
+from ..geometry import so3
+from ..geometry.state import NavState
+
+
+class PathNodes(NamedTuple):
+    """Upsampled state path over the window; node i is the state at t[i].
+
+    Segment i (between t[i] and t[i+1]) uses controls (a[i], w[i]) — the IMU
+    sample *active after* node i, replicating `Xtp = states[s] ⊞
+    IMU(states[s].a, states[s].w, tp)` (Compensator.cpp:131-133).
+    """
+
+    t: jnp.ndarray      # (S,)
+    R: jnp.ndarray      # (S, 3, 3)
+    p: jnp.ndarray      # (S, 3)
+    v: jnp.ndarray      # (S, 3)
+    a: jnp.ndarray      # (S, 3)  control for segment starting at node i
+    w: jnp.ndarray      # (S, 3)
+    mask: jnp.ndarray   # (S,) bool
+
+
+def _integrate(R, p, v, bg, ba, g, a, w, dt):
+    """One constant-control integration step (State::propagate_f)."""
+    acc_w = (R @ (a - ba)) + g
+    R_n = R @ so3.exp((w - bg) * dt[..., None])
+    p_n = p + v * dt[..., None] + 0.5 * acc_w * (dt * dt)[..., None]
+    v_n = v + acc_w * dt[..., None]
+    return R_n, p_n, v_n
+
+
+def build_path(anchor: NavState, anchor_t, anchor_a, anchor_w, imus: ImuWindow) -> PathNodes:
+    """Integrate `anchor` through the IMU window → path nodes.
+
+    Node 0 is the anchor itself with its last controls (anchor_a/anchor_w),
+    mirroring how the reference seeds `int_state = states[s]` and integrates
+    with `states[s].a/w` until the next IMU arrives.  Subsequent nodes land on
+    each IMU timestamp.  Controls are exponentially smoothed
+    (½ old + ½ new) exactly as `State::update` does (State.cpp:119-120).
+    """
+    dtype = anchor.p.dtype
+    t0 = jnp.asarray(anchor_t, dtype)
+
+    def step(carry, inp):
+        R, p, v, a_s, w_s, t_prev = carry
+        t, a, w, valid = inp
+        dt = jnp.where(valid, jnp.maximum(t - t_prev, 0.0), 0.0)
+        # integrate with the *incoming* IMU's controls over (t_prev, t]
+        R_n, p_n, v_n = _integrate(R, p, v, anchor.bg, anchor.ba, anchor.g, a, w, dt)
+        a_n = 0.5 * a_s + 0.5 * a   # control smoothing, State.cpp:119-120
+        w_n = 0.5 * w_s + 0.5 * w
+        new = (R_n, p_n, v_n, a_n, w_n, jnp.where(valid, t, t_prev))
+        old = (R, p, v, a_s, w_s, t_prev)
+        carry = tuple(jnp.where(valid, n, o) for n, o in zip(new, old))
+        return carry, (carry[5], carry[0], carry[1], carry[2], carry[3], carry[4], valid)
+
+    init = (anchor.R, anchor.p, anchor.v, jnp.asarray(anchor_a, dtype), jnp.asarray(anchor_w, dtype), t0)
+    _, (t, R, p, v, a, w, valid) = jax.lax.scan(step, init, (imus.t, imus.a, imus.w, imus.mask))
+
+    # prepend the anchor node
+    cat = lambda x0, xs: jnp.concatenate([x0[None], xs], axis=0)
+    return PathNodes(
+        t=cat(t0, t),
+        R=cat(anchor.R, R),
+        p=cat(anchor.p, p),
+        v=cat(anchor.v, v),
+        a=cat(jnp.asarray(anchor_a, dtype), a),
+        w=cat(jnp.asarray(anchor_w, dtype), w),
+        mask=cat(jnp.asarray(True), valid),
+    )
+
+
+def state_at(path: PathNodes, anchor: NavState, t) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pose (R, p, v) at scalar time t: bracketing node + residual integration
+    (`Compensator::get_t2`, Compensator.cpp:53-61)."""
+    valid_t = jnp.where(path.mask, path.t, -jnp.inf)
+    s = jnp.clip(jnp.searchsorted(valid_t, t, side="right") - 1, 0, path.t.shape[0] - 1)
+    dt = jnp.maximum(t - path.t[s], 0.0)
+    R, p, v = _integrate(
+        path.R[s], path.p[s], path.v[s], anchor.bg, anchor.ba, anchor.g,
+        path.a[s], path.w[s], dt,
+    )
+    return R, p, v
+
+
+def compensate(
+    path: PathNodes,
+    anchor: NavState,
+    t2,
+    pts: jnp.ndarray,
+    pts_t: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Deskew points to the LiDAR frame at t2.
+
+    pts: (N,3) in the LiDAR frame at their own timestamps pts_t: (N,).
+    Returns (N,3) points in the LiDAR frame at t2 (the frame subsequently
+    localized and mapped; main.cpp:79-91).
+    """
+    dtype = pts.dtype
+    # pose at each point's own time
+    valid_t = jnp.where(path.mask, path.t, -jnp.inf)
+    seg = jnp.clip(jnp.searchsorted(valid_t, pts_t, side="right") - 1, 0, path.t.shape[0] - 1)
+    dt = jnp.maximum(pts_t - path.t[seg], 0.0)
+
+    R_s = path.R[seg]          # (N,3,3)
+    p_s = path.p[seg]
+    v_s = path.v[seg]
+    a_s = path.a[seg]
+    w_s = path.w[seg]
+
+    acc_w = jnp.einsum("nij,nj->ni", R_s, a_s - anchor.ba) + anchor.g
+    R_tp = R_s @ so3.exp((w_s - anchor.bg) * dt[..., None])
+    p_tp = p_s + v_s * dt[..., None] + 0.5 * acc_w * (dt * dt)[..., None]
+
+    # lidar → imu → world at tp
+    p_imu = jnp.einsum("ij,nj->ni", anchor.R_LI, pts) + anchor.t_LI
+    p_world = jnp.einsum("nij,nj->ni", R_tp, p_imu) + p_tp
+
+    # world → lidar frame at t2
+    R_t2, p_t2, _ = state_at(path, anchor, jnp.asarray(t2, dtype))
+    R_w2l = (anchor.R_LI.T @ R_t2.T)                        # (3,3)
+    t_w2l = -R_w2l @ p_t2 - anchor.R_LI.T @ anchor.t_LI
+    out = jnp.einsum("ij,nj->ni", R_w2l, p_world) + t_w2l
+    return jnp.where(pts_mask[..., None], out, 0.0)

@@ -1,0 +1,180 @@
+"""Iterated error-state measurement update (point-to-plane).
+
+TPU-native replacement for IKFoM's `update_iterated_dyn_share_modified` +
+`h_share_model` callback chain (SURVEY.md §2.10) and
+`Localizator::calculate_H` (`/root/reference/src/Modules/Localizator.cpp:
+29-57`).  The reference's control flow is inverted — the filter calls back up
+into Mapper/Localizator each iteration; here the ≤`MAX_NUM_ITERS` Gauss-Newton
+iterations explicitly interleave match → Jacobians → solve → ⊞ inside one
+jitted function (SURVEY.md §7 design stance).
+
+Update math (information form — algebraically the FAST-LIO2 iterated update):
+
+    dx_j = x_j ⊟ x0                       (error w.r.t. the predicted state)
+    minimize ½‖r_j + Hδ‖²_{R⁻¹} + ½‖dx_j + δ‖²_{P⁻¹}
+    ⇒ (HᵀR⁻¹H + P⁻¹) δ = −(HᵀR⁻¹ r_j + P⁻¹ dx_j)
+    x_{j+1} = x_j ⊞ δ ;  converged when max|δ| < LIMITS
+    P⁺ = (HᵀR⁻¹H + P⁻¹)⁻¹  at the final iterate
+
+H rows (N×12, remaining 11 columns zero — Localizator.cpp:29-57):
+    cols 0-2   ∂r/∂pos      = nᵀ
+    cols 3-5   ∂r/∂rot      = (p_imu × (Rᵀn))ᵀ
+    cols 6-8   ∂r/∂extr_R   = (p_lidar × (R_LIᵀ Rᵀ n))ᵀ   (if estimate_extrinsics)
+    cols 9-11  ∂r/∂extr_t   = (Rᵀn)ᵀ                       (if estimate_extrinsics)
+with r = signed point-to-plane distance of the globally-placed point.
+
+The HᵀR⁻¹H / HᵀR⁻¹r reductions are exact sums over points → shardable with a
+`psum` (SURVEY.md §2 parallelism table); see parallel/sharding.py.
+
+Degeneracy gating (the Huguet57 IKFoM-fork extension, Localizator.cpp:132):
+eigendecompose the 12×12 HᵀH; update components along eigen-directions with
+λ < degeneracy_threshold are zeroed (LOAM-style solution remapping).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import so3
+from ..geometry.state import ERROR_DIM, NavState, boxminus, boxplus
+from ..mapping import GridParams, HashGridMap, knn
+from ..ops.planes import fit_planes, point_plane_distance
+
+
+class UpdateDiagnostics(NamedTuple):
+    num_matches: jnp.ndarray    # () int32 — valid matches at final iteration
+    mean_residual: jnp.ndarray  # () mean |point-plane distance| over matches
+    eigenvalues: jnp.ndarray    # (12,) of HᵀH at final iteration
+    delta_norm: jnp.ndarray     # () max|δ| at final iteration
+    iterations: jnp.ndarray     # () int32 — GN iterations actually applied
+
+
+def observation_matrix(
+    x: NavState,
+    pts_lidar: jnp.ndarray,     # (N,3) deskewed points, LiDAR frame @ t2
+    normals: jnp.ndarray,       # (N,3) matched plane normals (world frame)
+    estimate_extrinsics: bool,
+) -> jnp.ndarray:
+    """Rows of H (N×12) exactly as `Localizator::calculate_H`."""
+    N = pts_lidar.shape[0]
+    Rt_n = jnp.einsum("ji,nj->ni", x.R, normals)                 # Rᵀ n
+    p_imu = jnp.einsum("ij,nj->ni", x.R_LI, pts_lidar) + x.t_LI  # lidar→imu
+    A = jnp.cross(p_imu, Rt_n)                                   # ∂/∂rot
+    H = jnp.concatenate([normals, A], axis=-1)                   # (N,6)
+    if estimate_extrinsics:
+        LiRt_n = jnp.einsum("ji,nj->ni", x.R_LI, Rt_n)           # R_LIᵀ Rᵀ n
+        B = jnp.cross(pts_lidar, LiRt_n)
+        H = jnp.concatenate([H, B, Rt_n], axis=-1)               # (N,12)
+    else:
+        H = jnp.concatenate([H, jnp.zeros((N, 6), H.dtype)], axis=-1)
+    return H
+
+
+def _match(
+    x: NavState,
+    m: HashGridMap,
+    pts_lidar: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid: GridParams,
+    config,
+):
+    """`Mapper::match` (Mapper.cpp:40-56): place the window globally with the
+    current estimate, KNN each point, fit planes, gate."""
+    p_glob = (
+        jnp.einsum("ij,nj->ni", x.R, jnp.einsum("ij,nj->ni", x.R_LI, pts_lidar) + x.t_LI)
+        + x.p
+    )
+    nb, sq, nb_valid = knn(m, p_glob, grid, k=config.NUM_MATCH_POINTS, rings=config.knn_rings)
+    fit = fit_planes(nb, sq, nb_valid, config.MAX_DIST_PLANE, config.PLANES_THRESHOLD)
+    r = point_plane_distance(p_glob, fit)
+    valid = fit.valid & mask
+    return r, fit.normal, valid
+
+
+def iterated_update(
+    x0: NavState,
+    P: jnp.ndarray,
+    m: HashGridMap,
+    pts_lidar: jnp.ndarray,     # (N,3) deskewed window, LiDAR frame @ t2
+    mask: jnp.ndarray,          # (N,)
+    grid: GridParams,
+    config,
+    axis_name: str | None = None,
+) -> Tuple[NavState, jnp.ndarray, UpdateDiagnostics]:
+    """Run the full iterated update; returns (x⁺, P⁺, diagnostics).
+
+    With `axis_name` set (inside `shard_map`), the window is point-sharded
+    across devices: each device matches its own shard and the Gauss-Newton
+    normal equations HᵀR⁻¹H / HᵀR⁻¹r — exact sums over points — are reduced
+    with a `psum`, making the update bit-identical to the single-device one
+    (SURVEY.md §2 parallelism table: lossless point-batch sharding).
+    """
+    dtype = pts_lidar.dtype
+    psum = (lambda v: jax.lax.psum(v, axis_name)) if axis_name else (lambda v: v)
+    r_inv = 1.0 / config.LiDAR_noise            # measurement information
+    P_inv = jnp.linalg.inv(P.astype(jnp.float32))
+    eps_limit = config.LIMITS
+
+    def gn_iteration(carry, _):
+        x, done, it = carry
+        r, normals, valid = _match(x, m, pts_lidar, mask, grid, config)
+        w = valid.astype(dtype)
+        H = observation_matrix(x, pts_lidar, normals, config.estimate_extrinsics)
+        Hw = H * w[:, None]
+
+        HtH = psum(Hw.T @ H)                             # (12,12), MXU
+        Htr = psum(Hw.T @ (r * w))                       # (12,)
+
+        # degeneracy gating on the unwhitened HᵀH spectrum
+        eigval, eigvec = jnp.linalg.eigh(HtH)
+        strong = (eigval >= config.degeneracy_threshold).astype(dtype)
+
+        S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype)
+        S = S.at[:12, :12].set(HtH * r_inv)
+        S = S + P_inv
+        g_vec = jnp.zeros((ERROR_DIM,), dtype).at[:12].set(Htr * r_inv)
+        dx_prior = boxminus(x, x0)
+        rhs = -(g_vec + P_inv @ dx_prior)
+        delta = jnp.linalg.solve(S, rhs)
+
+        # remap the observable block: drop components along weak directions
+        d12 = eigvec.T @ delta[:12]
+        delta = delta.at[:12].set(eigvec @ (d12 * strong))
+
+        x_new = boxplus(x, delta)
+        x = jax.tree.map(lambda n, o: jnp.where(done, o, n), x_new, x)
+
+        max_d = jnp.max(jnp.abs(delta))
+        newly_done = max_d < eps_limit
+        it = it + jnp.where(done, 0, 1)
+        done = done | newly_done
+        out = (valid, r, eigval, max_d)
+        return (x, done, it), out
+
+    init = (x0, jnp.asarray(False), jnp.zeros((), jnp.int32))
+    (x, _, iters), (valids, rs, eigs, max_ds) = jax.lax.scan(
+        gn_iteration, init, None, length=config.MAX_NUM_ITERS
+    )
+
+    # final covariance + diagnostics from the last executed iteration
+    r, normals, valid = _match(x, m, pts_lidar, mask, grid, config)
+    w = valid.astype(dtype)
+    H = observation_matrix(x, pts_lidar, normals, config.estimate_extrinsics)
+    Hw = H * w[:, None]
+    HtH = psum(Hw.T @ H)
+    S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype).at[:12, :12].set(HtH * r_inv) + P_inv
+    P_new = jnp.linalg.inv(S)
+    P_new = 0.5 * (P_new + P_new.T)
+
+    n_matches = psum(jnp.sum(valid)).astype(jnp.int32)
+    diag = UpdateDiagnostics(
+        num_matches=n_matches,
+        mean_residual=psum(jnp.sum(jnp.abs(r) * w)) / jnp.maximum(n_matches, 1),
+        eigenvalues=eigs[-1],
+        delta_norm=max_ds[-1],
+        iterations=iters,
+    )
+    return x, P_new, diag

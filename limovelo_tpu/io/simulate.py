@@ -1,0 +1,264 @@
+"""Synthetic LiDAR+IMU simulator with ground truth.
+
+The reference project validates purely by replaying rosbags and eyeballing
+rviz (SURVEY.md §4).  We need deterministic, dataset-free validation: this
+module builds a planar world (rooms/corridors — rich planar structure, like
+the environments the estimator is designed for), drives a smooth trajectory
+through it, and renders spinning-LiDAR scans with per-point timestamps plus
+ideal/noisy IMU samples.  Ground truth poses make ATE computable exactly.
+
+Conventions match the pipeline: IMU accelerometer measures specific force
+a = Rᵀ(v̇ − g_world) + bias + noise with g_world = config.gravity_vec
+(so at rest a = −Rᵀ g_world); gyro measures body rates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Tuple
+
+import numpy as np
+from scipy.spatial.transform import Rotation as Rsc
+
+
+@dataclass
+class SimScan:
+    """One LiDAR rotation: points in the sensor frame with absolute stamps."""
+
+    pts: np.ndarray      # (N,3) float32, LiDAR frame at each point's own time
+    t: np.ndarray        # (N,) float64 absolute
+    stamp: float         # scan header stamp (beginning of rotation)
+
+
+@dataclass
+class SimData:
+    scans: List[SimScan]
+    imu_t: np.ndarray    # (M,) float64
+    imu_a: np.ndarray    # (M,3) float32
+    imu_w: np.ndarray    # (M,3) float32
+    gt_t: np.ndarray     # (K,) float64 dense ground-truth sampling
+    gt_R: np.ndarray     # (K,3,3)
+    gt_p: np.ndarray     # (K,3)
+
+
+# ---------------------------------------------------------------------------
+# worlds
+# ---------------------------------------------------------------------------
+
+
+def corridor_world(
+    length: float = 60.0, width: float = 6.0, height: float = 4.0
+) -> Callable[[np.ndarray, np.ndarray], np.ndarray]:
+    """Axis-aligned corridor along +x: floor, ceiling, two walls, end caps.
+    Returns a ray-caster: (origins (N,3), dirs (N,3)) → ranges (N,)."""
+
+    planes = [
+        # (normal, offset): n·x + d = 0, rays hit from inside
+        (np.array([0.0, 0.0, 1.0]), 0.0),         # floor z=0
+        (np.array([0.0, 0.0, -1.0]), height),     # ceiling z=h
+        (np.array([0.0, 1.0, 0.0]), width / 2),   # wall y=-w/2
+        (np.array([0.0, -1.0, 0.0]), width / 2),  # wall y=+w/2
+        (np.array([1.0, 0.0, 0.0]), 10.0),        # cap x=-10
+        (np.array([-1.0, 0.0, 0.0]), length),     # cap x=length
+    ]
+
+    def cast(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        best = np.full(len(origins), np.inf)
+        for n, d in planes:
+            denom = dirs @ n
+            tt = -(origins @ n + d) / np.where(np.abs(denom) > 1e-9, denom, np.nan)
+            tt = np.where((tt > 0.05) & np.isfinite(tt), tt, np.inf)
+            best = np.minimum(best, tt)
+        return best
+
+    return cast
+
+
+def room_world(size: float = 20.0, height: float = 5.0, n_boxes: int = 8, seed: int = 3):
+    """A big room with random boxes — more geometric variety (corners)."""
+    rng = np.random.default_rng(seed)
+    planes = [
+        (np.array([0.0, 0.0, 1.0]), 0.0),
+        (np.array([0.0, 0.0, -1.0]), height),
+        (np.array([1.0, 0.0, 0.0]), size / 2),
+        (np.array([-1.0, 0.0, 0.0]), size / 2),
+        (np.array([0.0, 1.0, 0.0]), size / 2),
+        (np.array([0.0, -1.0, 0.0]), size / 2),
+    ]
+    boxes = []
+    for _ in range(n_boxes):
+        c = rng.uniform(-size / 2 + 2, size / 2 - 2, size=2)
+        if np.linalg.norm(c) < 3.0:  # keep the trajectory region clear
+            c = c / np.linalg.norm(c) * 3.5
+        half = rng.uniform(0.4, 1.2, size=3)
+        boxes.append((np.array([c[0], c[1], half[2]]), half))
+
+    def cast(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        best = np.full(len(origins), np.inf)
+        for n, d in planes:
+            denom = dirs @ n
+            tt = -(origins @ n + d) / np.where(np.abs(denom) > 1e-9, denom, np.nan)
+            tt = np.where((tt > 0.05) & np.isfinite(tt), tt, np.inf)
+            best = np.minimum(best, tt)
+        for c, half in boxes:
+            lo, hi = c - half, c + half
+            inv = 1.0 / np.where(np.abs(dirs) > 1e-9, dirs, 1e-9)
+            t0 = (lo[None] - origins) * inv
+            t1 = (hi[None] - origins) * inv
+            tmin = np.minimum(t0, t1).max(axis=1)
+            tmax = np.maximum(t0, t1).min(axis=1)
+            hit = (tmax > tmin) & (tmin > 0.05)
+            best = np.minimum(best, np.where(hit, tmin, np.inf))
+        return best
+
+    return cast
+
+
+# ---------------------------------------------------------------------------
+# trajectories
+# ---------------------------------------------------------------------------
+
+
+class Trajectory:
+    """Smooth analytic trajectory: position + yaw splines with exact
+    derivatives (so IMU measurements are consistent with ground truth)."""
+
+    def __init__(self, pos_fn, yaw_fn, eps: float = 1e-4):
+        self.pos_fn = pos_fn
+        self.yaw_fn = yaw_fn
+        self.eps = eps
+
+    def pose(self, t: float) -> Tuple[np.ndarray, np.ndarray]:
+        R = Rsc.from_euler("z", self.yaw_fn(t)).as_matrix()
+        return R, self.pos_fn(t)
+
+    def vel(self, t: float) -> np.ndarray:
+        e = self.eps
+        return (self.pos_fn(t + e) - self.pos_fn(t - e)) / (2 * e)
+
+    def acc(self, t: float) -> np.ndarray:
+        e = self.eps
+        return (self.pos_fn(t + e) - 2 * self.pos_fn(t) + self.pos_fn(t - e)) / (e * e)
+
+    def omega_body(self, t: float) -> np.ndarray:
+        e = self.eps
+        yaw_rate = (self.yaw_fn(t + e) - self.yaw_fn(t - e)) / (2 * e)
+        R, _ = self.pose(t)
+        return R.T @ np.array([0.0, 0.0, yaw_rate])
+
+
+def corridor_trajectory(speed: float = 5.0, weave: float = 0.5) -> Trajectory:
+    def pos(t):
+        return np.array(
+            [speed * t, weave * np.sin(0.8 * t), 1.5 + 0.1 * np.sin(1.3 * t)]
+        )
+
+    def yaw(t):
+        return 0.12 * np.sin(0.5 * t)
+
+    return Trajectory(pos, yaw)
+
+
+def circle_trajectory(radius: float = 5.0, omega: float = 0.5) -> Trajectory:
+    def pos(t):
+        return np.array(
+            [radius * np.cos(omega * t) - radius, radius * np.sin(omega * t), 1.5]
+        )
+
+    def yaw(t):
+        return omega * t + np.pi / 2
+
+    return Trajectory(pos, yaw)
+
+
+# ---------------------------------------------------------------------------
+# sensor rendering
+# ---------------------------------------------------------------------------
+
+
+def simulate(
+    world_cast,
+    traj: Trajectory,
+    config,
+    duration: float = 10.0,
+    t_start: float = 0.0,
+    lidar_lines: int = 16,
+    pts_per_line: int = 256,
+    imu_rate: float = 200.0,
+    range_noise: float = 0.01,
+    accel_noise: float = 0.02,
+    gyro_noise: float = 0.002,
+    accel_bias: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    gyro_bias: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    max_range: float = 80.0,
+    seed: int = 0,
+) -> SimData:
+    """Render scans + IMU along the trajectory.
+
+    LiDAR model: `lidar_lines` elevation rings, azimuth sweeping 2π per
+    `config.full_rotation_time`, each column stamped at its own absolute time
+    (velodyne-style per-point stamps, SURVEY.md §2.6).  The sensor frame
+    equals the body frame composed with the configured LiDAR→IMU extrinsics.
+    """
+    rng = np.random.default_rng(seed)
+    g_world = np.array(config.gravity_vec, np.float64)
+    R_LI = np.array(config.I_Rotation_L, np.float64).reshape(3, 3)
+    t_LI = np.array(config.I_Translation_L, np.float64)
+
+    rot_time = config.full_rotation_time
+    n_scans = int(duration / rot_time)
+    elev = np.deg2rad(np.linspace(-15, 15, lidar_lines))
+
+    scans = []
+    for si in range(n_scans):
+        t0 = t_start + si * rot_time
+        az = np.linspace(0, 2 * np.pi, pts_per_line, endpoint=False)
+        col_t = t0 + (az / (2 * np.pi)) * rot_time
+        # per-column sensor pose (body pose ∘ extrinsics)
+        dirs_l = np.stack(
+            [
+                np.cos(elev)[None, :] * np.cos(az)[:, None],
+                np.cos(elev)[None, :] * np.sin(az)[:, None],
+                np.broadcast_to(np.sin(elev)[None, :], (pts_per_line, lidar_lines)),
+            ],
+            axis=-1,
+        )  # (cols, lines, 3) in LiDAR frame
+        pts_list, t_list = [], []
+        for ci in range(pts_per_line):
+            R_b, p_b = traj.pose(col_t[ci])
+            R_wl = R_b @ R_LI
+            p_wl = R_b @ t_LI + p_b
+            d_w = dirs_l[ci] @ R_wl.T
+            ranges = world_cast(np.tile(p_wl, (lidar_lines, 1)), d_w)
+            ok = np.isfinite(ranges) & (ranges < max_range)
+            r = ranges[ok] + rng.normal(size=ok.sum()) * range_noise
+            pts_list.append((dirs_l[ci][ok] * r[:, None]).astype(np.float32))
+            t_list.append(np.full(ok.sum(), col_t[ci]))
+        scans.append(
+            SimScan(
+                pts=np.concatenate(pts_list, axis=0),
+                t=np.concatenate(t_list, axis=0),
+                stamp=t0,
+            )
+        )
+
+    # IMU
+    m = int(duration * imu_rate)
+    imu_t = t_start + (np.arange(m) + 1) / imu_rate
+    imu_a = np.zeros((m, 3), np.float32)
+    imu_w = np.zeros((m, 3), np.float32)
+    for i, t in enumerate(imu_t):
+        R_b, _ = traj.pose(t)
+        a_spec = R_b.T @ (traj.acc(t) - g_world)
+        imu_a[i] = a_spec + np.array(accel_bias) + rng.normal(size=3) * accel_noise
+        imu_w[i] = traj.omega_body(t) + np.array(gyro_bias) + rng.normal(size=3) * gyro_noise
+
+    # dense ground truth
+    gt_t = t_start + np.linspace(0, duration, int(duration * 100) + 1)
+    gt_R = np.stack([traj.pose(t)[0] for t in gt_t])
+    gt_p = np.stack([traj.pose(t)[1] for t in gt_t])
+
+    return SimData(
+        scans=scans, imu_t=imu_t, imu_a=imu_a, imu_w=imu_w,
+        gt_t=gt_t, gt_R=gt_R, gt_p=gt_p,
+    )

@@ -1,0 +1,301 @@
+"""HBM-resident voxel hash-grid map with batched KNN.
+
+TPU-native replacement for the vendored ikd-Tree (SURVEY.md §2.11,
+`/root/reference/src/Modules/Mapper.cpp`).  The ikd-Tree is a pointer-chasing
+incremental k-d tree with on-insert voxel downsampling at 0.2 m resolution
+(`KD_TREE<Point>(0.3, 0.6, 0.2)`, Mapper.cpp:65) and per-point
+`Nearest_Search(k=5)` queries (Mapper.cpp:86) — hot loop #1 of the whole
+system.  None of that maps to a TPU, so the design is different:
+
+- The world is divided into **fine voxels** (`map_voxel_size`, 0.2 m — the map
+  resolution) grouped into **coarse buckets** of `map_coarse_factor`³ fine
+  cells (default 4³ = 64 slots of a 0.8 m bucket).
+- A bucket lives in an open-addressing hash table keyed by its integer coarse
+  coordinate.  A stored point's slot within its bucket *is* its fine-cell
+  offset, so at most one point per fine voxel exists — exactly the ikd-Tree
+  downsample-on-insert semantics, but enforced by construction, and inserts
+  become race-free scatters (no ikd-Tree rebalance thread, no OpenMP race).
+- KNN gathers the 3³ neighboring buckets (≥0.8 m guaranteed search radius),
+  computes all candidate distances in one dense batch, and `top_k`s — a
+  regular-memory-access computation over every query point at once.
+
+The map is an explicit pytree threaded through the jitted step function
+(donated between steps), never Python-side mutated state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EMPTY_KEY = jnp.iinfo(jnp.int32).min  # sentinel for unoccupied bucket
+
+
+class HashGridMap(NamedTuple):
+    keys: jnp.ndarray       # (T, 3) int32 coarse voxel coords; EMPTY_KEY = free
+    pts: jnp.ndarray        # (T, S, 3) f32 stored points
+    cell_d2: jnp.ndarray    # (T, S) f32 dist² of stored point to fine-cell
+                            #   center; +inf = empty slot
+    num_points: jnp.ndarray # () int32
+    num_buckets: jnp.ndarray# () int32 occupied buckets
+    # static geometry params (python ints/floats, hashable via partial)
+
+
+class GridParams(NamedTuple):
+    """Static (compile-time) map geometry."""
+
+    table_size: int = 1 << 17
+    coarse_factor: int = 4
+    voxel_size: float = 0.2
+    probe_length: int = 8
+
+    @property
+    def slots(self) -> int:
+        return self.coarse_factor ** 3
+
+    @property
+    def coarse_size(self) -> float:
+        return self.voxel_size * self.coarse_factor
+
+    @classmethod
+    def from_config(cls, config) -> "GridParams":
+        return cls(
+            table_size=config.map_table_size,
+            coarse_factor=config.map_coarse_factor,
+            voxel_size=config.map_voxel_size,
+            probe_length=config.map_probe_length,
+        )
+
+
+def make_map(params: GridParams, dtype=jnp.float32) -> HashGridMap:
+    T, S = params.table_size, params.slots
+    return HashGridMap(
+        keys=jnp.full((T, 3), EMPTY_KEY, jnp.int32),
+        pts=jnp.zeros((T, S, 3), dtype),
+        cell_d2=jnp.full((T, S), jnp.inf, dtype),
+        num_points=jnp.zeros((), jnp.int32),
+        num_buckets=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+_PRIMES = np.array([73856093, 19349669, 83492791], np.uint32)
+
+
+def _hash_coords(coords: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """Spatial hash of int32 coords (..., 3) → bucket index [0, table_size)."""
+    c = coords.astype(jnp.uint32)
+    h = (c[..., 0] * _PRIMES[0]) ^ (c[..., 1] * _PRIMES[1]) ^ (c[..., 2] * _PRIMES[2])
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+def _fine_coords(pts: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
+    return jnp.floor(pts / voxel_size).astype(jnp.int32)
+
+
+def _split_coords(fine: jnp.ndarray, factor: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fine coord → (coarse coord, slot index within bucket)."""
+    coarse = jnp.floor_divide(fine, factor)
+    local = fine - coarse * factor          # in [0, factor)
+    slot = (local[..., 0] * factor + local[..., 1]) * factor + local[..., 2]
+    return coarse, slot
+
+
+# ---------------------------------------------------------------------------
+# insert
+# ---------------------------------------------------------------------------
+
+
+def _dedup_per_fine_cell(fine, d2, mask):
+    """Keep, per fine voxel, only the point nearest its cell center.
+
+    Sort-based: lexsort by (d2, z, y, x) groups identical fine coords with the
+    best point first; `is_first` marks the keeper.  Replaces the incoming-batch
+    half of ikd-Tree's downsample semantics.  Fully jittable, O(N log N).
+    """
+    # push masked-out entries to the end of every grouping
+    big = jnp.iinfo(jnp.int32).max
+    fx = jnp.where(mask, fine[:, 0], big)
+    fy = jnp.where(mask, fine[:, 1], big)
+    fz = jnp.where(mask, fine[:, 2], big)
+    order = jnp.lexsort((d2, fz, fy, fx))
+    fs = fine[order]
+    same_as_prev = jnp.concatenate(
+        [jnp.array([False]), jnp.all(fs[1:] == fs[:-1], axis=-1)]
+    )
+    keep_sorted = (~same_as_prev) & mask[order]
+    keep = jnp.zeros_like(mask).at[order].set(keep_sorted)
+    return keep
+
+
+def _find_or_claim_buckets(m: HashGridMap, coarse, active, params: GridParams):
+    """Resolve the table bucket for each coarse coord, claiming empty buckets.
+
+    Returns (keys', bucket_idx (N,), found mask).  Bounded linear probing;
+    batch-internal claim conflicts resolved by a scatter-min of the row index
+    (deterministic winner), losers retry at the next probe offset.
+    """
+    N = coarse.shape[0]
+    T = params.table_size
+    h0 = _hash_coords(coarse, T)
+    keys = m.keys
+
+    bucket = jnp.full((N,), -1, jnp.int32)
+    pending = active
+    off = jnp.zeros((N,), jnp.int32)
+    row_ids = jnp.arange(N, dtype=jnp.int32)
+
+    def probe_round(_, carry):
+        keys, bucket, pending, off = carry
+        cand = (h0 + off) % T
+        stored = keys[cand]                                 # (N,3)
+        is_match = jnp.all(stored == coarse, axis=-1) & pending
+        is_empty = jnp.all(stored == EMPTY_KEY, axis=-1) & pending & ~is_match
+
+        # claim an empty bucket: scatter-min of row index, deterministic winner
+        claims = jnp.full((T,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        claims = claims.at[jnp.where(is_empty, cand, T)].min(row_ids, mode="drop")
+        won = is_empty & (claims[cand] == row_ids)
+        keys = keys.at[jnp.where(won, cand, T)].set(coarse, mode="drop")
+
+        resolved = is_match | won
+        bucket = jnp.where(resolved, cand, bucket)
+        pending = pending & ~resolved
+        # advance only past buckets occupied by a *different* key; claim-race
+        # losers re-probe the same offset (the winner may share their key)
+        occupied_other = pending & ~is_empty
+        # cap at the last offset _lookup_buckets will scan; rows that exhaust
+        # it stay pending and are dropped (table too full near this hash)
+        off = jnp.where(occupied_other, jnp.minimum(off + 1, params.probe_length - 1), off)
+        return keys, bucket, pending, off
+
+    # extra rounds absorb claim-race stalls (losers retry without advancing)
+    keys, bucket, pending, _ = jax.lax.fori_loop(
+        0, 2 * params.probe_length, probe_round, (keys, bucket, pending, off)
+    )
+    return keys, bucket, active & ~pending
+
+
+def _lookup_buckets(keys, coarse, params: GridParams):
+    """Read-only probe: coarse coords (..., 3) → bucket index or -1."""
+    T = params.table_size
+    h0 = _hash_coords(coarse, T)
+    shape = coarse.shape[:-1]
+    bucket = jnp.full(shape, -1, jnp.int32)
+    done = jnp.zeros(shape, bool)
+
+    def probe_round(i, carry):
+        bucket, done = carry
+        cand = (h0 + i) % T
+        stored = keys[cand]
+        is_match = jnp.all(stored == coarse, axis=-1)
+        is_empty = jnp.all(stored == EMPTY_KEY, axis=-1)
+        bucket = jnp.where(is_match & ~done, cand, bucket)
+        done = done | is_match | is_empty
+        return bucket, done
+
+    bucket, _ = jax.lax.fori_loop(0, params.probe_length, probe_round, (bucket, done))
+    return bucket
+
+
+@partial(jax.jit, static_argnames=("params", "downsample"))
+def insert(m: HashGridMap, pts, mask, params: GridParams, downsample: bool = True):
+    """Add points (world frame) to the map — `Mapper::add`/`Add_Points`
+    (Mapper.cpp:22-30,73-76) with `downsample_on` semantics.
+
+    With downsample=True at most one point per fine voxel survives, preferring
+    the point nearest the fine-cell center (ikd-Tree keeps the nearest-to-
+    center within each downsample box).  With False, later inserts to an
+    occupied fine cell are still dropped (capacity 1/fine cell by design).
+    """
+    fine = _fine_coords(pts, params.voxel_size)
+    center = (fine.astype(pts.dtype) + 0.5) * params.voxel_size
+    d2 = jnp.sum((pts - center) ** 2, axis=-1)
+
+    keep = _dedup_per_fine_cell(fine, d2, mask) if downsample else mask
+    coarse, slot = _split_coords(fine, params.coarse_factor)
+
+    keys, bucket, found = _find_or_claim_buckets(m, coarse, keep, params)
+
+    # count newly-claimed buckets (bucket rows whose key changed from EMPTY)
+    newly_claimed = jnp.sum(
+        jnp.all(m.keys == EMPTY_KEY, axis=-1) & ~jnp.all(keys == EMPTY_KEY, axis=-1)
+    )
+
+    # insert policy: write if strictly closer to the fine-cell center than the
+    # incumbent (empty slots hold +inf).  After dedup each (bucket, slot) has
+    # at most one incoming writer, so a plain scatter is race-free.
+    safe_bucket = jnp.where(found, bucket, 0)
+    incumbent = m.cell_d2[safe_bucket, slot]
+    write = found & (d2 < incumbent)
+
+    b_idx = jnp.where(write, bucket, params.table_size)  # OOB rows dropped
+    pts_new = m.pts.at[b_idx, slot].set(pts, mode="drop")
+    d2_new = m.cell_d2.at[b_idx, slot].set(d2, mode="drop")
+
+    was_empty = ~jnp.isfinite(incumbent)
+    n_new = jnp.sum(write & was_empty).astype(jnp.int32)
+
+    return HashGridMap(
+        keys=keys,
+        pts=pts_new,
+        cell_d2=d2_new,
+        num_points=m.num_points + n_new,
+        num_buckets=m.num_buckets + newly_claimed.astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KNN
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_offsets(rings: int) -> np.ndarray:
+    r = np.arange(-rings, rings + 1)
+    g = np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
+    return g.astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("params", "k", "rings"))
+def knn(m: HashGridMap, queries, params: GridParams, k: int = 5, rings: int = 1):
+    """Batched k-nearest-neighbors — `KD_TREE::Nearest_Search` for every query
+    at once (Mapper.cpp:82-89).
+
+    queries: (N, 3) world-frame points.
+    Returns (neighbors (N,k,3), sq_dists (N,k) ascending, valid (N,k)).
+    Approximate beyond the gathered neighborhood: guaranteed exact within a
+    `rings * coarse_size` radius (0.8 m default) — see SURVEY.md §7 "hard
+    parts" for the oracle-validation strategy.
+    """
+    N = queries.shape[0]
+    S = params.slots
+    offs = jnp.asarray(_neighbor_offsets(rings))          # (V,3)
+    V = offs.shape[0]
+
+    fine = _fine_coords(queries, params.voxel_size)
+    coarse = jnp.floor_divide(fine, params.coarse_factor)  # (N,3)
+    nb_coords = coarse[:, None, :] + offs[None, :, :]      # (N,V,3)
+
+    bucket = _lookup_buckets(m.keys, nb_coords, params)    # (N,V)
+    safe = jnp.where(bucket >= 0, bucket, 0)
+
+    cand = m.pts[safe]                                     # (N,V,S,3)
+    cand_d2 = m.cell_d2[safe]                              # (N,V,S)
+    occupied = jnp.isfinite(cand_d2) & (bucket >= 0)[..., None]
+
+    diff = cand - queries[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(occupied, d2, jnp.inf).reshape(N, V * S)
+
+    neg_top, idx = jax.lax.top_k(-d2, k)                   # ascending distance
+    sq = -neg_top
+    valid = jnp.isfinite(sq)
+    nb = jnp.take_along_axis(cand.reshape(N, V * S, 3), idx[..., None], axis=1)
+    return nb, jnp.where(valid, sq, jnp.inf), valid

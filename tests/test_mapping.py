@@ -1,0 +1,129 @@
+"""Hash-grid map: insert/KNN vs brute-force oracle (SURVEY.md §7 hard-parts)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from limovelo_tpu.mapping import GridParams, insert, knn, make_map
+
+GRID = GridParams(table_size=1 << 12, coarse_factor=4, voxel_size=0.2, probe_length=8)
+
+
+def brute_knn(map_pts, queries, k):
+    d2 = ((queries[:, None, :] - map_pts[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :k]
+    return np.take_along_axis(d2, idx, axis=1), idx
+
+
+def insert_np(rng, n=500, scale=5.0):
+    return (rng.uniform(-scale, scale, size=(n, 3))).astype(np.float32)
+
+
+class TestInsert:
+    def test_empty_map(self):
+        m = make_map(GRID)
+        assert int(m.num_points) == 0
+        assert int(m.num_buckets) == 0
+
+    def test_insert_counts(self, rng):
+        pts = insert_np(rng, 200, scale=3.0)
+        m = make_map(GRID)
+        m = insert(m, jnp.asarray(pts), jnp.ones(200, bool), GRID)
+        n = int(m.num_points)
+        # at most one point per 0.2m fine voxel
+        vox = np.unique(np.floor(pts / 0.2).astype(np.int64), axis=0)
+        assert n == len(vox)
+
+    def test_downsample_semantics(self):
+        # two points in the same fine voxel: keep the one nearer the center
+        m = make_map(GRID)
+        pts = jnp.asarray([[0.11, 0.11, 0.11], [0.19, 0.19, 0.19]], jnp.float32)
+        m = insert(m, pts, jnp.ones(2, bool), GRID)
+        assert int(m.num_points) == 1
+        stored = np.asarray(m.pts).reshape(-1, 3)
+        d2 = np.asarray(m.cell_d2).ravel()
+        kept = stored[np.isfinite(d2)]
+        np.testing.assert_allclose(kept[0], [0.11, 0.11, 0.11], atol=1e-6)
+
+    def test_incremental_insert_keeps_existing_nearer(self):
+        m = make_map(GRID)
+        first = jnp.asarray([[0.10, 0.10, 0.10]], jnp.float32)  # at center
+        m = insert(m, first, jnp.ones(1, bool), GRID)
+        second = jnp.asarray([[0.19, 0.19, 0.19]], jnp.float32)  # same cell, worse
+        m = insert(m, second, jnp.ones(1, bool), GRID)
+        assert int(m.num_points) == 1
+        stored = np.asarray(m.pts).reshape(-1, 3)
+        d2 = np.asarray(m.cell_d2).ravel()
+        kept = stored[np.isfinite(d2)]
+        np.testing.assert_allclose(kept[0], [0.10, 0.10, 0.10], atol=1e-6)
+
+    def test_mask_respected(self, rng):
+        pts = insert_np(rng, 100)
+        mask = np.zeros(100, bool)
+        mask[:10] = True
+        m = make_map(GRID)
+        m = insert(m, jnp.asarray(pts), jnp.asarray(mask), GRID)
+        vox = np.unique(np.floor(pts[:10] / 0.2).astype(np.int64), axis=0)
+        assert int(m.num_points) == len(vox)
+
+    def test_many_collisions_same_bucket(self):
+        # 200 points inside ONE coarse voxel → heavy same-key traffic
+        rng = np.random.default_rng(7)
+        pts = rng.uniform(0.0, 0.79, size=(200, 3)).astype(np.float32)
+        m = make_map(GRID)
+        m = insert(m, jnp.asarray(pts), jnp.ones(200, bool), GRID)
+        vox = np.unique(np.floor(pts / 0.2).astype(np.int64), axis=0)
+        assert int(m.num_points) == len(vox)
+        assert int(m.num_buckets) == 1
+
+
+class TestKNN:
+    def test_vs_bruteforce_dense(self, rng):
+        """Dense map: hash-grid KNN must equal exact KNN (all NNs well within
+        the guaranteed 0.8m radius)."""
+        pts = rng.uniform(-4, 4, size=(3000, 3)).astype(np.float32)
+        m = make_map(GRID)
+        m = insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool), GRID)
+        stored = np.asarray(m.pts).reshape(-1, 3)
+        occ = np.isfinite(np.asarray(m.cell_d2).ravel())
+        map_pts = stored[occ]
+
+        queries = rng.uniform(-3, 3, size=(64, 3)).astype(np.float32)
+        nb, sq, valid = knn(m, jnp.asarray(queries), GRID, k=5)
+        sq = np.asarray(sq)
+        oracle_sq, _ = brute_knn(map_pts, queries, 5)
+
+        assert np.asarray(valid).all()
+        np.testing.assert_allclose(np.sort(sq, axis=1), oracle_sq, rtol=1e-4, atol=1e-5)
+
+    def test_neighbors_are_actual_points(self, rng):
+        pts = rng.uniform(-2, 2, size=(500, 3)).astype(np.float32)
+        m = make_map(GRID)
+        m = insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool), GRID)
+        queries = rng.uniform(-1, 1, size=(16, 3)).astype(np.float32)
+        nb, sq, valid = knn(m, jnp.asarray(queries), GRID, k=5)
+        nb, valid = np.asarray(nb), np.asarray(valid)
+        stored = np.asarray(m.pts).reshape(-1, 3)
+        occ = np.isfinite(np.asarray(m.cell_d2).ravel())
+        map_pts = stored[occ]
+        for i in range(16):
+            for j in range(5):
+                if valid[i, j]:
+                    d = np.min(((map_pts - nb[i, j]) ** 2).sum(-1))
+                    assert d < 1e-10
+
+    def test_empty_map_returns_invalid(self, rng):
+        m = make_map(GRID)
+        queries = rng.uniform(-1, 1, size=(8, 3)).astype(np.float32)
+        _, sq, valid = knn(m, jnp.asarray(queries), GRID, k=5)
+        assert not np.asarray(valid).any()
+        assert np.isinf(np.asarray(sq)).all()
+
+    def test_query_far_from_map(self, rng):
+        pts = rng.uniform(-1, 1, size=(100, 3)).astype(np.float32)
+        m = make_map(GRID)
+        m = insert(m, jnp.asarray(pts), jnp.ones(100, bool), GRID)
+        queries = np.full((4, 3), 50.0, np.float32)
+        _, _, valid = knn(m, jnp.asarray(queries), GRID, k=5)
+        assert not np.asarray(valid).any()
