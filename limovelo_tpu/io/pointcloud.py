@@ -64,17 +64,11 @@ def decode_scan(
     else:
         raise ValueError(f"Unknown LiDAR type {lidar_type!r}! Check your config.")
 
-    # temporal downsample: keep every downsample_rate-th point, then drop
-    # points closer than min_dist (PointCloudProcessor.cpp:101-112)
-    if config.downsample_rate > 1:
-        keep = (np.arange(1, n + 1) % config.downsample_rate) == 0
-    else:
-        keep = np.ones(n, bool)
-    keep &= np.linalg.norm(xyz, axis=-1) > config.min_dist
-    xyz, t_abs = xyz[keep], t_abs[keep]
+    # temporal downsample + min-range filter + time sort, fused in the native
+    # host library (PointCloudProcessor.cpp:101-123 semantics)
+    from ..native import process_scan
 
-    order = np.argsort(t_abs, kind="stable")
-    return xyz[order], t_abs[order]
+    return process_scan(xyz, t_abs, config.downsample_rate, config.min_dist)
 
 
 def _rebase_relative(config, rel: np.ndarray, header_stamp: float) -> np.ndarray:

@@ -262,3 +262,25 @@ def simulate(
         scans=scans, imu_t=imu_t, imu_a=imu_a, imu_w=imu_w,
         gt_t=gt_t, gt_R=gt_R, gt_p=gt_p,
     )
+
+
+def replay_into(pipe, sim: SimData, spin_every_imu: bool = False) -> None:
+    """Stream sim data into a pipeline in time order (like a live rosbag):
+    interleave IMU samples and scans by timestamp, spinning as data arrives.
+    Feeding everything up-front would put `initial_time` at the stream's end
+    (readiness fires on buffer size — Accumulator.cpp:154-156)."""
+    ii = 0
+    m = len(sim.imu_t)
+    for scan in sim.scans:
+        scan_end = scan.t[-1] if len(scan.t) else scan.stamp
+        while ii < m and sim.imu_t[ii] <= scan_end:
+            pipe.add_imu(sim.imu_t[ii], sim.imu_a[ii], sim.imu_w[ii])
+            if spin_every_imu:
+                pipe.spin()
+            ii += 1
+        pipe.add_scan(scan.pts, scan.t)
+        pipe.spin()
+    while ii < m:
+        pipe.add_imu(sim.imu_t[ii], sim.imu_a[ii], sim.imu_w[ii])
+        ii += 1
+    pipe.spin()

@@ -24,7 +24,7 @@ from ..filter.process import ImuWindow, process_noise_Q
 from ..geometry import state as st
 from ..mapping import GridParams, insert, make_map
 from ..ops.voxel import voxel_downsample
-from ..step import StepInputs, lio_step
+from ..step import StepInputs, lio_step, mapping_step
 from .accumulator import Accumulator
 
 
@@ -83,6 +83,20 @@ class LioPipeline:
         self.anchor = None
         self.anchor_t: Optional[float] = None
         self.last_map_time: Optional[float] = None         # Mapper::hasToMap
+        # recent corrected states (BUFFER_X analog) for offline-mode re-deskew
+        self._anchors: List[tuple] = []
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_hd_map(cls, config, map_path: str, grid: Optional[GridParams] = None):
+        """Prelocalization mode: start localizing against a prebuilt HD map
+        (the reference's unfinished `hdmaps` feature, README.md:64-68).
+        Typically combined with mapping_online=False to keep the map frozen."""
+        from .checkpoint import load_map
+
+        pipe = cls(config, grid=grid)
+        pipe._preloaded_map = load_map(map_path, pipe.grid)
+        return pipe
 
     # ------------------------------------------------------------------
     def add_scan(self, pts, t):
@@ -101,7 +115,9 @@ class LioPipeline:
             R0 = Rsc.from_quat(imu0.q).as_matrix()
         self.x = st.make_initial(self.config, R0=R0)
         self.P = st.initial_covariance()
-        self.map = make_map(self.grid)
+        self.map = getattr(self, "_preloaded_map", None)
+        if self.map is None:
+            self.map = make_map(self.grid)
         t0 = self.accum.initial_time
         self.t2 = t0
         self.last_time_updated = t0
@@ -193,8 +209,22 @@ class LioPipeline:
             self.anchor = out.x
             self.anchor_t = t2
             self.last_time_updated = t2
+            self._anchors.append((t2, out.x, anchor_a, anchor_w))
+            horizon = t2 - 2 * max(cfg.full_rotation_time, 0.2)
+            self._anchors = [a for a in self._anchors if a[0] >= horizon] or self._anchors[-1:]
             if self.last_map_time is None:
                 self.last_map_time = t2
+
+        # Step 2 (offline mode): map every full rotation with final states
+        # (main.cpp:107-117, Mapper::hasToMap)
+        if (
+            not cfg.mapping_online
+            and updated
+            and self.last_map_time is not None
+            and t2 - self.last_map_time >= cfg.full_rotation_time
+        ):
+            self._offline_map(t2, rebase)
+            self.last_map_time = t2
 
         rec = StepRecord(
             t=t2,
@@ -215,6 +245,38 @@ class LioPipeline:
         self.accum.clear_lidar(t2 - cfg.empty_lidar_time)
         self.accum.clear_imus(min(self.anchor_t, self.last_time_integrated) - 1.0)
         return rec
+
+    # ------------------------------------------------------------------
+    def _offline_map(self, t2: float, rebase: float):
+        """Re-deskew [t2 − full_rotation_time, t2] with the final states and
+        insert the downsampled global cloud (offline mapping mode)."""
+        cfg = self.config
+        t_lo = t2 - cfg.full_rotation_time
+        pts, pts_t = self.accum.get_points(t_lo, t2)
+        if len(pts) == 0:
+            return
+        bucket = cfg.bucket_for(len(pts), cfg.point_buckets)
+        if len(pts) > bucket:
+            pts, pts_t = pts[-bucket:], pts_t[-bucket:]
+        n = len(pts)
+        pts_pad = np.zeros((bucket, 3), np.float32)
+        t_pad = np.zeros(bucket, np.float32)
+        mask = np.zeros(bucket, bool)
+        pts_pad[:n] = pts
+        t_pad[:n] = (pts_t - rebase).astype(np.float32)
+        mask[:n] = True
+
+        # oldest stored anchor at/before t_lo (fall back to the oldest kept)
+        older = [a for a in self._anchors if a[0] <= t_lo]
+        a_t, a_x, a_a, a_w = (older[-1] if older else self._anchors[0])
+        imus = self._pad_imus(*self.accum.get_imus(a_t, t2), t2, rebase)
+        m_new, _, _ = mapping_step(
+            self.map, a_x, jnp.float32(a_t - rebase), jnp.asarray(a_a),
+            jnp.asarray(a_w), imus, self.x, jnp.float32(t2 - rebase),
+            jnp.asarray(pts_pad), jnp.asarray(t_pad), jnp.asarray(mask),
+            cfg, self.grid,
+        )
+        self.map = m_new
 
     # ------------------------------------------------------------------
     def spin_once(self) -> bool:

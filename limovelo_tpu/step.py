@@ -68,6 +68,37 @@ class StepOutputs(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("config", "grid"), donate_argnums=(1,))
+def mapping_step(
+    m: HashGridMap,
+    anchor: NavState,
+    anchor_t,
+    anchor_a,
+    anchor_w,
+    imus_path: ImuWindow,
+    x_t2: NavState,
+    t2,
+    pts,
+    pts_t,
+    pts_mask,
+    config,
+    grid: GridParams,
+):
+    """Offline-mode map update (main.cpp:107-117): re-deskew the FULL last
+    rotation with the final corrected states, downsample, insert globally.
+
+    Returns (map', global full-res points, global mask) — the full-resolution
+    cloud is what `high_quality_publish` streams out."""
+    path = build_path(anchor, anchor_t, anchor_a, anchor_w, imus_path)
+    pts_l2 = compensate(path, anchor, t2, pts, pts_t, pts_mask)
+    R_wl = x_t2.R @ x_t2.R_LI
+    t_wl = x_t2.p + (x_t2.R @ x_t2.t_LI)
+    g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
+    ds = voxel_downsample(g_full, pts_mask, config.downsample_prec)
+    m_new = insert(m, ds.pts, ds.mask, grid, downsample=True)
+    return m_new, g_full, pts_mask
+
+
+@partial(jax.jit, static_argnames=("config", "grid"), donate_argnums=(1,))
 def lio_step(inp: StepInputs, m: HashGridMap, config, grid: GridParams) -> StepOutputs:
     # ---- Step 1a: IMU propagation (Localizator::propagate_to) ----
     x_pred, P_pred = predict_window(inp.x, inp.P, inp.imus_filter, inp.t_integrated, inp.Q)

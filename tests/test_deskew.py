@@ -42,19 +42,24 @@ def oracle_path(anchor, t0, a0, w0, ts, accs, gyrs, g):
     return nodes
 
 
-def oracle_point(nodes, anchor, tp, p_lidar, g):
-    """Compensator::compensate per-point path (f64): integrate node → tp, map
-    lidar→world."""
+def oracle_pose(nodes, anchor, tp, g):
+    """Body pose (R_tp, p_tp) at tp: integrate the bracketing node with its
+    smoothed controls (Compensator per-point path, f64)."""
     bg, ba = np.asarray(anchor.bg, np.float64), np.asarray(anchor.ba, np.float64)
-    R_LI = np.asarray(anchor.R_LI, np.float64)
-    t_LI = np.asarray(anchor.t_LI, np.float64)
-    # bracketing node
     s = max(i for i, n in enumerate(nodes) if n[0] <= tp)
     t_s, R, p, v, a_s, w_s = nodes[s]
     dt = tp - t_s
     acc_w = R @ (a_s - ba) + g
     R_tp = R @ np_exp((w_s - bg) * dt)
     p_tp = p + v * dt + 0.5 * acc_w * dt * dt
+    return R_tp, p_tp
+
+
+def oracle_point(nodes, anchor, tp, p_lidar, g):
+    """World position of a LiDAR-frame point observed at tp."""
+    R_LI = np.asarray(anchor.R_LI, np.float64)
+    t_LI = np.asarray(anchor.t_LI, np.float64)
+    R_tp, p_tp = oracle_pose(nodes, anchor, tp, g)
     return R_tp @ (R_LI @ p_lidar + t_LI) + p_tp
 
 
@@ -137,15 +142,10 @@ class TestCompensate:
         # oracle: world position of each point, then into lidar@t2 frame
         R_LI = np.asarray(anchor.R_LI, np.float64)
         t_LI = np.asarray(anchor.t_LI, np.float64)
-        p_t2_world = oracle_point(nodes, anchor, t2, np.zeros(3), g)
-        # full pose at t2 for frame inversion
-        s = max(i for i, n in enumerate(nodes) if n[0] <= t2)
-        t_s, R, p, v, a_s, w_s = nodes[s]
-        dt = t2 - t_s
-        R_t2 = R @ np_exp((np.asarray(w_s) - np.asarray(anchor.bg, np.float64)) * dt)
+        R_t2, p_t2 = oracle_pose(nodes, anchor, t2, g)
         for i in range(Np):
             pw = oracle_point(nodes, anchor, float(pts_t[i]), pts[i].astype(np.float64), g)
-            pl2 = R_LI.T @ (R_t2.T @ (pw - p_t2_world) - t_LI)
+            pl2 = R_LI.T @ (R_t2.T @ (pw - p_t2) - t_LI)
             np.testing.assert_allclose(out[i], pl2, atol=2e-3)
 
     def test_points_at_padded_region_zeroed(self, rng):

