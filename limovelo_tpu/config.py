@@ -151,11 +151,16 @@ class Config:
         return dataclasses.replace(self, **kw)
 
     def bucket_for(self, n: int, buckets: Tuple[int, ...]) -> int:
-        """Smallest padding bucket that fits n items (bounds recompiles)."""
+        """Smallest padding bucket that fits n items (bounds recompiles).
+        Beyond the configured list, grow by powers of two — dropping data
+        (IMU samples especially) is never acceptable."""
         for b in buckets:
             if n <= b:
                 return b
-        return buckets[-1]
+        b = buckets[-1]
+        while b < n:
+            b *= 2
+        return b
 
     # ------------------------------------------------------------------
     @classmethod

@@ -63,7 +63,12 @@ def fit_planes(
     res = jnp.einsum("nki,ni->nk", neighbors, normal) + d[..., None]
     flat = jnp.all(jnp.where(nb_valid, jnp.abs(res), 0.0) < planes_threshold, axis=-1)
 
-    valid = enough & close & flat & (norm > 1e-12)
+    finite = jnp.all(jnp.isfinite(v), axis=-1) & jnp.isfinite(d)
+    valid = enough & close & flat & (norm > 1e-12) & finite
+    # zero out invalid rows: degenerate solves can return inf/NaN, and a
+    # later `H * mask` would still propagate them (NaN·0 = NaN)
+    normal = jnp.where(valid[..., None], normal, 0.0)
+    d = jnp.where(valid, d, 0.0)
     return PlaneFit(normal=normal, d=d, valid=valid)
 
 

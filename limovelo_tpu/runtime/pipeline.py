@@ -85,6 +85,7 @@ class LioPipeline:
         self.last_map_time: Optional[float] = None         # Mapper::hasToMap
         # recent corrected states (BUFFER_X analog) for offline-mode re-deskew
         self._anchors: List[tuple] = []
+        self._last_processed_t2: float = -np.inf
 
     # ------------------------------------------------------------------
     @classmethod
@@ -300,6 +301,12 @@ class LioPipeline:
         self.t2 = t2
         if t2 - t1 < delta - 1e-6:
             return False
+        # never reprocess an already-attempted window: the reference attempts
+        # at most one window per incoming message (the `break` at the end of
+        # the while(ready()) body, main.cpp:125); without new data we stop
+        if t2 <= self._last_processed_t2 + 1e-9:
+            return False
+        self._last_processed_t2 = t2
         self.step_window(t1, t2)
         return True
 
