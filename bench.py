@@ -15,6 +15,13 @@ import numpy as np
 
 
 def main():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _enable_compile_cache
+
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

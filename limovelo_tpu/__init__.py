@@ -16,8 +16,16 @@ import jax as _jax
 # opt back in locally via `precision=` / `preferred_element_type=`.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from .config import DEFAULT, KITTI, Config, InitializationParams
+from .config import DEFAULT, KITTI, OUSTER, XALOC, Config, InitializationParams
 
 __version__ = "0.1.0"
 
-__all__ = ["Config", "InitializationParams", "DEFAULT", "KITTI", "__version__"]
+__all__ = [
+    "Config",
+    "InitializationParams",
+    "DEFAULT",
+    "KITTI",
+    "OUSTER",
+    "XALOC",
+    "__version__",
+]

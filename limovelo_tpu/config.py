@@ -227,6 +227,72 @@ KITTI = Config(
     Initialization=InitializationParams(times=(), deltas=(0.1,)),
 )
 
+#: Profile equivalent to the reference's config/xaloc.yaml (Formula Student
+#: car, modified Velodyne driver with offsets from rotation start)
+XALOC = Config(
+    mapping_online=True,
+    real_time=True,
+    high_quality_publish=True,
+    estimate_extrinsics=True,
+    initial_gravity=(0.0, 0.0, -9.807),
+    I_Translation_L=(1.25, 0.0, 0.0),
+    I_Rotation_L=(1.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0, -1.0),
+    empty_lidar_time=0.1,
+    real_time_delay=0.1,
+    LiDAR_type="velodyne",
+    stamp_beginning=False,
+    offset_beginning=True,
+    LiDAR_noise=0.001,
+    full_rotation_time=0.1,
+    min_dist=4.0,
+    downsample_rate=4,
+    downsample_prec=0.5,
+    imu_rate=400.0,
+    covariance_gyroscope=6.01e-4,
+    covariance_acceleration=1.53e-2,
+    covariance_bias_gyroscope=1.54e-5,
+    covariance_bias_acceleration=3.38e-4,
+    MAX_DIST_PLANE=2.0,
+    PLANES_THRESHOLD=5e-2,
+    degeneracy_threshold=5.0,
+    points_topic="/velodyne_points",
+    imus_topic="/vectornav/IMU",
+    Initialization=InitializationParams(
+        times=(0.5, 1.0, 1.25), deltas=(0.1, 0.05, 0.02)
+    ),
+)
+
+#: Profile equivalent to the reference's config/ouster.yaml (OS1-16 sample)
+OUSTER = Config(
+    mapping_online=True,
+    real_time=False,
+    high_quality_publish=False,
+    initial_gravity=(0.0, 0.0, +9.807),
+    I_Translation_L=(0.006253, -0.011775, 0.028535),
+    I_Rotation_L=(-1.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0, 1.0),
+    empty_lidar_time=0.1,
+    real_time_delay=0.1,
+    LiDAR_type="ouster",
+    stamp_beginning=False,
+    offset_beginning=True,
+    LiDAR_noise=0.001,
+    full_rotation_time=0.1,
+    min_dist=4.0,
+    downsample_rate=4,
+    downsample_prec=0.5,
+    imu_rate=100.0,
+    covariance_gyroscope=1e-1,
+    covariance_acceleration=1e-1,
+    covariance_bias_gyroscope=1e-4,
+    covariance_bias_acceleration=1e-4,
+    MAX_DIST_PLANE=2.0,
+    PLANES_THRESHOLD=1e-1,
+    degeneracy_threshold=5.0,
+    points_topic="/os1_cloud_node/points",
+    imus_topic="/os1_cloud_node/imu",
+    Initialization=InitializationParams(times=(), deltas=(0.1,)),
+)
+
 #: Profile equivalent to the reference's config/params.yaml defaults
 DEFAULT = Config(
     mapping_online=True,

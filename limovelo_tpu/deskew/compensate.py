@@ -100,11 +100,24 @@ def build_path(anchor: NavState, anchor_t, anchor_a, anchor_w, imus: ImuWindow) 
     )
 
 
+def _bracket(valid_t: jnp.ndarray, query_t) -> jnp.ndarray:
+    """Index of the last node with time ≤ query (per query element).
+
+    Dense compare-all instead of `jnp.searchsorted`: the default searchsorted
+    lowering builds a sequential scan whose TPU compile takes minutes, while
+    S×N comparisons (S ≤ a few hundred path nodes) are microseconds on the
+    VPU.
+    """
+    q = jnp.asarray(query_t)
+    le = valid_t <= q[..., None]                      # (..., S)
+    return jnp.clip(jnp.sum(le, axis=-1) - 1, 0, valid_t.shape[0] - 1)
+
+
 def state_at(path: PathNodes, anchor: NavState, t) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pose (R, p, v) at scalar time t: bracketing node + residual integration
     (`Compensator::get_t2`, Compensator.cpp:53-61)."""
     valid_t = jnp.where(path.mask, path.t, -jnp.inf)
-    s = jnp.clip(jnp.searchsorted(valid_t, t, side="right") - 1, 0, path.t.shape[0] - 1)
+    s = _bracket(valid_t, t)
     dt = jnp.maximum(t - path.t[s], 0.0)
     R, p, v = _integrate(
         path.R[s], path.p[s], path.v[s], anchor.bg, anchor.ba, anchor.g,
@@ -130,7 +143,7 @@ def compensate(
     dtype = pts.dtype
     # pose at each point's own time
     valid_t = jnp.where(path.mask, path.t, -jnp.inf)
-    seg = jnp.clip(jnp.searchsorted(valid_t, pts_t, side="right") - 1, 0, path.t.shape[0] - 1)
+    seg = _bracket(valid_t, pts_t)
     dt = jnp.maximum(pts_t - path.t[seg], 0.0)
 
     R_s = path.R[seg]          # (N,3,3)
