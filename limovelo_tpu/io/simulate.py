@@ -47,10 +47,17 @@ class SimData:
 
 
 def corridor_world(
-    length: float = 60.0, width: float = 6.0, height: float = 4.0
+    length: float = 60.0,
+    width: float = 6.0,
+    height: float = 4.0,
+    pillar_every: float = 8.0,
 ) -> Callable[[np.ndarray, np.ndarray], np.ndarray]:
-    """Axis-aligned corridor along +x: floor, ceiling, two walls, end caps.
-    Returns a ray-caster: (origins (N,3), dirs (N,3)) → ranges (N,)."""
+    """Axis-aligned corridor along +x: floor, ceiling, two walls, end caps,
+    plus wall pillars every `pillar_every` m.  A bare corridor is
+    longitudinally degenerate (nothing constrains x but the far end caps) —
+    the classic LIO failure mode; pillars make x observable like real
+    corridors' doorframes/columns do.  Returns a ray-caster:
+    (origins (N,3), dirs (N,3)) → ranges (N,)."""
 
     planes = [
         # (normal, offset): n·x + d = 0, rays hit from inside
@@ -61,6 +68,15 @@ def corridor_world(
         (np.array([1.0, 0.0, 0.0]), 10.0),        # cap x=-10
         (np.array([-1.0, 0.0, 0.0]), length),     # cap x=length
     ]
+    boxes = []
+    if pillar_every > 0:
+        x = 0.0
+        side = 1.0
+        while x < length:
+            y = side * (width / 2 - 0.3)
+            boxes.append((np.array([x, y, height / 2]), np.array([0.3, 0.3, height / 2])))
+            side = -side
+            x += pillar_every
 
     def cast(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
         best = np.full(len(origins), np.inf)
@@ -69,6 +85,15 @@ def corridor_world(
             tt = -(origins @ n + d) / np.where(np.abs(denom) > 1e-9, denom, np.nan)
             tt = np.where((tt > 0.05) & np.isfinite(tt), tt, np.inf)
             best = np.minimum(best, tt)
+        for c, half in boxes:
+            lo, hi = c - half, c + half
+            inv = 1.0 / np.where(np.abs(dirs) > 1e-9, dirs, 1e-9)
+            t0 = (lo[None] - origins) * inv
+            t1 = (hi[None] - origins) * inv
+            tmin = np.minimum(t0, t1).max(axis=1)
+            tmax = np.maximum(t0, t1).min(axis=1)
+            hit = (tmax > tmin) & (tmin > 0.05)
+            best = np.minimum(best, np.where(hit, tmin, np.inf))
         return best
 
     return cast

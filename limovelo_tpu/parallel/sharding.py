@@ -124,6 +124,10 @@ def make_sharded_step(mesh: Mesh, config, grid: GridParams):
             mesh=mesh,
             in_specs=specs_in,
             out_specs=specs_out,
+            # the per-device body mixes replicated state (filter scans) with
+            # point-sharded data; skip the varying-manual-axes check rather
+            # than pcast-annotating every scan carry
+            check_vma=False,
         )
         return f(inp, m)
 

@@ -65,11 +65,12 @@ class OdometryResult:
 class LioPipeline:
     """Feed sensors in (any interleaving), call `spin()`, read trajectory out."""
 
-    def __init__(self, config, grid: Optional[GridParams] = None):
+    def __init__(self, config, grid: Optional[GridParams] = None, publisher=None):
         self.config = config
         self.grid = grid or GridParams.from_config(config)
         self.accum = Accumulator(config)
         self.result = OdometryResult()
+        self.publisher = publisher  # runtime.publishers.Publisher or None
 
         self._initialized = False
         self.map = None
@@ -241,6 +242,12 @@ class LioPipeline:
         )
         if updated:
             self.result.records.append(rec)
+            if self.publisher is not None:
+                # publish.state + window cloud (main.cpp:87-93); full-res
+                # cloud when high_quality_publish
+                self.publisher.state(rec)
+                g = np.asarray(out.global_pts)[np.asarray(out.global_mask)]
+                self.publisher.cloud(g, t2)
 
         # Step 3: GC (main.cpp:122)
         self.accum.clear_lidar(t2 - cfg.empty_lidar_time)

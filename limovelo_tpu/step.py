@@ -67,7 +67,7 @@ class StepOutputs(NamedTuple):
     diag: UpdateDiagnostics
 
 
-@partial(jax.jit, static_argnames=("config", "grid"), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("config", "grid"), donate_argnums=(0,))
 def mapping_step(
     m: HashGridMap,
     anchor: NavState,

@@ -9,6 +9,7 @@ from limovelo_tpu.io.simulate import (
     circle_trajectory,
     corridor_trajectory,
     corridor_world,
+    replay_into,
     room_world,
     simulate,
 )
@@ -21,11 +22,7 @@ SMALL_GRID = GridParams(table_size=1 << 14, coarse_factor=4, voxel_size=0.2, pro
 
 def run_pipeline(config, sim, grid=SMALL_GRID):
     pipe = LioPipeline(config, grid=grid)
-    for t, a, w in zip(sim.imu_t, sim.imu_a, sim.imu_w):
-        pipe.add_imu(t, a, w)
-    for scan in sim.scans:
-        pipe.add_scan(scan.pts, scan.t)
-    pipe.spin()
+    replay_into(pipe, sim)  # stream in time order (readiness is buffer-based)
     return pipe
 
 

@@ -92,8 +92,12 @@ class TestIteratedUpdate:
         threshold the whole pose update is suppressed."""
         cfg_open = Config(degeneracy_threshold=0.0, LiDAR_noise=0.001)
         cfg_gated = Config(degeneracy_threshold=1e9, LiDAR_noise=0.001)
+        # ground at z=-0.5: a plane through the origin (D=0) is unrepresentable
+        # in the reference's Av=-1 parametrization (Utils.cpp:32-57) — ours
+        # matches that behavior, so keep the test plane off-origin
         plane_pts = np.stack(
-            [rng.uniform(-8, 8, 4000), rng.uniform(-8, 8, 4000), np.zeros(4000)], axis=1
+            [rng.uniform(-8, 8, 4000), rng.uniform(-8, 8, 4000), np.full(4000, -0.5)],
+            axis=1,
         ).astype(np.float32)
         m = make_map(GRID)
         m = insert(m, jnp.asarray(plane_pts), jnp.ones(4000, bool), GRID)
