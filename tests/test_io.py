@@ -1,0 +1,281 @@
+"""IO: vendor decode semantics, rosbag roundtrip, KITTI reader, native lib."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from limovelo_tpu import Config
+from limovelo_tpu.io.pointcloud import decode_scan
+
+
+class TestVendorDecode:
+    def test_velodyne_relative_offsets_end_stamped(self, rng):
+        """Velodyne, stamp at end of rotation (stamp_beginning=False,
+        offset_beginning=False): per-point time ∈ [-T, 0] relative."""
+        cfg = Config(LiDAR_type="velodyne", min_dist=0.0, downsample_rate=1,
+                     full_rotation_time=0.1, stamp_beginning=False,
+                     offset_beginning=False)
+        n = 100
+        xyz = rng.normal(size=(n, 3)).astype(np.float32) * 10
+        rel = np.linspace(-0.1, 0.0, n)   # offsets from end of rotation
+        stamp = 1000.0                     # header stamp = end of rotation
+        pts, t = decode_scan(cfg, xyz, stamp, time_field=rel)
+        # earliest point at stamp − T, latest at stamp
+        assert abs(t[0] - 999.9) < 1e-6
+        assert abs(t[-1] - 1000.0) < 1e-6
+        assert (np.diff(t) >= 0).all()
+
+    def test_velodyne_offset_beginning(self, rng):
+        """offset_beginning=True (Xaloc driver): offsets ∈ [0, T]."""
+        cfg = Config(LiDAR_type="velodyne", min_dist=0.0, downsample_rate=1,
+                     full_rotation_time=0.1, stamp_beginning=True,
+                     offset_beginning=True)
+        n = 50
+        xyz = rng.normal(size=(n, 3)).astype(np.float32) * 10
+        rel = np.linspace(0.0, 0.1, n)
+        pts, t = decode_scan(cfg, xyz, 500.0, time_field=rel)
+        assert abs(t[0] - 500.0) < 1e-6
+        assert abs(t[-1] - 500.1) < 1e-6
+
+    def test_ouster_nanoseconds(self, rng):
+        cfg = Config(LiDAR_type="ouster", min_dist=0.0, downsample_rate=1,
+                     full_rotation_time=0.1, stamp_beginning=True,
+                     offset_beginning=True)
+        n = 10
+        xyz = rng.normal(size=(n, 3)).astype(np.float32) * 10
+        rel_ns = np.linspace(0, 1e8, n)  # 0..0.1 s in ns
+        pts, t = decode_scan(cfg, xyz, 42.0, time_field=rel_ns)
+        assert abs(t[-1] - t[0] - 0.1) < 1e-6
+
+    def test_hesai_absolute(self, rng):
+        cfg = Config(LiDAR_type="hesai", min_dist=0.0, downsample_rate=1)
+        xyz = rng.normal(size=(5, 3)).astype(np.float32) * 10
+        abs_t = np.array([10.0, 10.01, 10.02, 10.03, 10.04])
+        pts, t = decode_scan(cfg, xyz, 999.0, time_field=abs_t)
+        np.testing.assert_allclose(t, abs_t)
+
+    def test_temporal_downsample_and_min_dist(self, rng):
+        cfg = Config(LiDAR_type="hesai", min_dist=5.0, downsample_rate=4)
+        n = 100
+        xyz = np.zeros((n, 3), np.float32)
+        xyz[:, 0] = np.linspace(1, 20, n)  # ranges 1..20
+        abs_t = np.linspace(0, 0.1, n)
+        pts, t = decode_scan(cfg, xyz, 0.0, time_field=abs_t)
+        # every 4th point kept, then min_dist>5 filter
+        assert len(pts) < n / 4 + 1
+        assert (np.linalg.norm(pts, axis=1) > 5.0).all()
+
+    def test_missing_time_field(self, rng):
+        cfg = Config(LiDAR_type="velodyne", min_dist=0.0, downsample_rate=1)
+        xyz = rng.normal(size=(20, 3)).astype(np.float32) * 10
+        pts, t = decode_scan(cfg, xyz, 100.0, time_field=None)
+        assert (t == 0).all()  # triggers the runtime missing-time fallback
+
+
+class TestNativeLib:
+    def test_native_matches_numpy_fallback(self, rng):
+        from limovelo_tpu import native
+
+        xyz = rng.normal(size=(500, 3)).astype(np.float32) * 10
+        t = rng.uniform(0, 0.1, 500)
+        a_n, t_n = native.process_scan(xyz, t, 4, 3.0)
+        # force numpy fallback
+        lib = native._lib
+        native._lib = False
+        try:
+            a_p, t_p = native.process_scan(xyz, t, 4, 3.0)
+        finally:
+            native._lib = lib
+        np.testing.assert_allclose(a_n, a_p)
+        np.testing.assert_allclose(t_n, t_p)
+
+    def test_extract_field(self):
+        from limovelo_tpu import native
+
+        # two points, stride 16: x f32@0, t f64@8... use f32@4 for second field
+        buf = struct.pack("<ffff", 1.5, 2.5, 0.0, 0.0) + struct.pack(
+            "<ffff", -3.5, 4.5, 0.0, 0.0
+        )
+        x = native.extract_field(buf, 2, 16, 0, 7)
+        y = native.extract_field(buf, 2, 16, 4, 7)
+        np.testing.assert_allclose(x, [1.5, -3.5])
+        np.testing.assert_allclose(y, [2.5, 4.5])
+
+
+class TestRosbagRoundtrip:
+    def _write_bag(self, path, messages):
+        """Minimal uncompressed ROS bag v2.0 writer (test-only)."""
+
+        def header(fields):
+            out = b""
+            for k, v in fields.items():
+                f = k + b"=" + v
+                out += struct.pack("<I", len(f)) + f
+            return out
+
+        def record(fields, data):
+            h = header(fields)
+            return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
+
+        chunk_payload = b""
+        conns = {}
+        for topic, msg_type, t, raw in messages:
+            if topic not in conns:
+                cid = len(conns)
+                conns[topic] = cid
+                chdr = header(
+                    {b"topic": topic.encode(), b"type": msg_type.encode(),
+                     b"md5sum": b"0" * 32, b"message_definition": b""}
+                )
+                chunk_payload += record(
+                    {b"op": b"\x07", b"conn": struct.pack("<I", cid),
+                     b"topic": topic.encode()},
+                    chdr,
+                )
+            sec, nsec = int(t), int((t - int(t)) * 1e9)
+            chunk_payload += record(
+                {b"op": b"\x02", b"conn": struct.pack("<I", conns[topic]),
+                 b"time": struct.pack("<II", sec, nsec)},
+                raw,
+            )
+        with open(path, "wb") as f:
+            f.write(b"#ROSBAG V2.0\n")
+            f.write(
+                record(
+                    {b"op": b"\x05", b"compression": b"none",
+                     b"size": struct.pack("<I", len(chunk_payload))},
+                    chunk_payload,
+                )
+            )
+
+    def _imu_msg(self, q, w, a):
+        raw = struct.pack("<I", 0)                      # seq
+        raw += struct.pack("<II", 5, 500)               # stamp
+        raw += struct.pack("<I", 0)                     # frame_id ""
+        raw += struct.pack("<4d", *q)
+        raw += b"\x00" * 72
+        raw += struct.pack("<3d", *w)
+        raw += b"\x00" * 72
+        raw += struct.pack("<3d", *a)
+        raw += b"\x00" * 72
+        return raw
+
+    def _pc2_msg(self, stamp, pts, times):
+        n = len(pts)
+        raw = struct.pack("<I", 0)
+        raw += struct.pack("<II", int(stamp), int((stamp % 1) * 1e9))
+        raw += struct.pack("<I", 0)                     # frame ""
+        raw += struct.pack("<II", 1, n)                 # height, width
+        fields = [(b"x", 0, 7, 1), (b"y", 4, 7, 1), (b"z", 8, 7, 1), (b"time", 12, 7, 1)]
+        raw += struct.pack("<I", len(fields))
+        for name, off, dt, cnt in fields:
+            raw += struct.pack("<I", len(name)) + name
+            raw += struct.pack("<IBI", off, dt, cnt)
+        raw += b"\x00"                                  # is_bigendian
+        raw += struct.pack("<II", 16, 16 * n)           # point_step, row_step
+        data = b""
+        for p, t in zip(pts, times):
+            data += struct.pack("<ffff", p[0], p[1], p[2], t)
+        raw += struct.pack("<I", len(data)) + data
+        raw += b"\x00"                                  # is_dense
+        return raw
+
+    def test_roundtrip(self, tmp_path, rng):
+        from limovelo_tpu.io.rosbag import BagReader, decode_imu, decode_pointcloud2
+
+        pts = rng.normal(size=(8, 3)).astype(np.float32) * 10
+        times = np.linspace(0, 0.09, 8).astype(np.float32)
+        msgs = [
+            ("/imu", "sensor_msgs/Imu", 1.0,
+             self._imu_msg((0, 0, 0, 1), (0.1, 0.2, 0.3), (0, 0, 9.8))),
+            ("/points", "sensor_msgs/PointCloud2", 1.05, self._pc2_msg(1.05, pts, times)),
+        ]
+        bag = str(tmp_path / "test.bag")
+        self._write_bag(bag, msgs)
+
+        got = list(BagReader(bag).messages())
+        assert [m.topic for m in got] == ["/imu", "/points"]
+        t, q, w, a = decode_imu(got[0].raw)
+        np.testing.assert_allclose(w, [0.1, 0.2, 0.3])
+        np.testing.assert_allclose(a, [0, 0, 9.8])
+        stamp, fields = decode_pointcloud2(got[1].raw)
+        np.testing.assert_allclose(
+            np.stack([fields["x"], fields["y"], fields["z"]], 1), pts, atol=1e-6
+        )
+        np.testing.assert_allclose(fields["time"], times, atol=1e-6)
+
+    def test_topic_filter(self, tmp_path, rng):
+        from limovelo_tpu.io.rosbag import BagReader
+
+        msgs = [
+            ("/a", "sensor_msgs/Imu", 1.0, self._imu_msg((0, 0, 0, 1), (0, 0, 0), (0, 0, 0))),
+            ("/b", "sensor_msgs/Imu", 2.0, self._imu_msg((0, 0, 0, 1), (0, 0, 0), (0, 0, 0))),
+        ]
+        bag = str(tmp_path / "t.bag")
+        self._write_bag(bag, msgs)
+        got = list(BagReader(bag).messages(topics=["/b"]))
+        assert len(got) == 1 and got[0].topic == "/b"
+
+
+class TestKittiReader:
+    def _make_drive(self, root, n=3):
+        velo = os.path.join(root, "velodyne_points")
+        oxts = os.path.join(root, "oxts")
+        os.makedirs(os.path.join(velo, "data"))
+        os.makedirs(os.path.join(oxts, "data"))
+        rng = np.random.default_rng(0)
+        with open(os.path.join(velo, "timestamps.txt"), "w") as ft:
+            for i in range(n):
+                ft.write(f"2011-09-26 13:02:{25+i:02d}.500000000\n")
+                pts = rng.normal(size=(64, 4)).astype(np.float32) * 10
+                pts.tofile(os.path.join(velo, "data", f"{i:010d}.bin"))
+        with open(os.path.join(oxts, "timestamps.txt"), "w") as ft:
+            for i in range(n):
+                ft.write(f"2011-09-26 13:02:{25+i:02d}.400000000\n")
+                rec = np.zeros(30)
+                rec[11:14] = [0.1, 0.2, 9.8]
+                rec[17:20] = [0.01, 0.02, 0.03]
+                np.savetxt(os.path.join(oxts, "data", f"{i:010d}.txt"), rec[None])
+
+    def test_reader(self, tmp_path):
+        from limovelo_tpu.io.kitti import KittiRawReader
+
+        drive = str(tmp_path / "drive")
+        os.makedirs(drive)
+        self._make_drive(drive)
+        r = KittiRawReader(drive)
+        scans = list(r.scans())
+        imus = list(r.imu())
+        assert len(scans) == 3 and len(imus) == 3
+        pts, t_abs, stamp = scans[0]
+        assert pts.shape == (64, 3)
+        assert (np.diff(sorted(t_abs)) >= 0).all()
+        assert abs(imus[0].a[2] - 9.8) < 1e-6
+
+
+class TestCheckpoint:
+    def test_map_roundtrip(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from limovelo_tpu.mapping import GridParams, insert, make_map
+        from limovelo_tpu.runtime.checkpoint import (
+            compact_map_points,
+            load_map,
+            save_map,
+        )
+
+        grid = GridParams(table_size=1 << 10, coarse_factor=4, voxel_size=0.2)
+        pts = rng.uniform(-3, 3, size=(300, 3)).astype(np.float32)
+        m = make_map(grid)
+        m = insert(m, jnp.asarray(pts), jnp.ones(300, bool), grid)
+        path = str(tmp_path / "map.npz")
+        save_map(path, m, grid)
+        m2 = load_map(path, grid)
+        p1 = compact_map_points(m)
+        p2 = compact_map_points(m2)
+        assert len(p1) == len(p2) == int(m.num_points)
+        np.testing.assert_allclose(
+            p1[np.lexsort(p1.T)], p2[np.lexsort(p2.T)], atol=1e-6
+        )
