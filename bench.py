@@ -82,6 +82,8 @@ def main():
         w=jnp.zeros((n_imu, 3), jnp.float32),
         mask=jnp.ones(n_imu, bool),
     )
+    from limovelo_tpu.config import DynParams
+
     inp = StepInputs(
         anchor=x, anchor_t=jnp.float32(0.0),
         anchor_a=jnp.asarray(-np.array(config.gravity_vec, np.float32)),
@@ -93,10 +95,12 @@ def main():
         pts_mask=jnp.ones(n_pts, bool),
         t2=jnp.float32(0.01),
         Q=process_noise_Q(config),
+        dyn=DynParams.from_config(config),
     )
 
+    static_cfg = config.static()
     # warm up (compile)
-    out = lio_step(inp, m, config, grid)
+    out = lio_step(inp, m, static_cfg, grid)
     jax.block_until_ready(out.x)
     m = out.map
 
@@ -105,7 +109,7 @@ def main():
     lat = []
     for _ in range(50):
         t0 = time.perf_counter()
-        out = lio_step(inp, m, config, grid)
+        out = lio_step(inp, m, static_cfg, grid)
         jax.block_until_ready(out.x)
         lat.append(time.perf_counter() - t0)
         m = out.map

@@ -18,11 +18,52 @@ from __future__ import annotations
 import dataclasses
 import math
 from dataclasses import dataclass, field
+from typing import NamedTuple
 from typing import Tuple
 
 
 def _ident9() -> Tuple[float, ...]:
     return (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+class StaticConfig(NamedTuple):
+    """The subset of config that is structural — it changes compiled-program
+    SHAPE or control flow and therefore must be a static jit argument.
+    Everything numerical (thresholds, noises) travels in `DynParams` as traced
+    scalars, so tuning them does NOT recompile (TPU compiles through this
+    environment's tunnel cost minutes each)."""
+
+    MAX_NUM_ITERS: int
+    NUM_MATCH_POINTS: int
+    estimate_extrinsics: bool
+    mapping_online: bool
+    knn_rings: int
+
+
+class DynParams(NamedTuple):
+    """Numerical parameters as traced device scalars (see StaticConfig)."""
+
+    MAX_DIST_PLANE: object        # f32 scalar
+    PLANES_THRESHOLD: object
+    LiDAR_noise: object
+    degeneracy_threshold: object
+    LIMITS: object
+    downsample_prec: object
+    MAX_POINTS2MATCH: object      # i32 scalar
+
+    @classmethod
+    def from_config(cls, c: "Config") -> "DynParams":
+        import jax.numpy as jnp
+
+        return cls(
+            MAX_DIST_PLANE=jnp.float32(c.MAX_DIST_PLANE),
+            PLANES_THRESHOLD=jnp.float32(c.PLANES_THRESHOLD),
+            LiDAR_noise=jnp.float32(c.LiDAR_noise),
+            degeneracy_threshold=jnp.float32(c.degeneracy_threshold),
+            LIMITS=jnp.float32(c.LIMITS),
+            downsample_prec=jnp.float32(c.downsample_prec),
+            MAX_POINTS2MATCH=jnp.int32(c.MAX_POINTS2MATCH),
+        )
 
 
 @dataclass(frozen=True)
@@ -149,6 +190,18 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    def static(self) -> StaticConfig:
+        return StaticConfig(
+            MAX_NUM_ITERS=self.MAX_NUM_ITERS,
+            NUM_MATCH_POINTS=self.NUM_MATCH_POINTS,
+            estimate_extrinsics=self.estimate_extrinsics,
+            mapping_online=self.mapping_online,
+            knn_rings=self.knn_rings,
+        )
+
+    def dynamic(self) -> DynParams:
+        return DynParams.from_config(self)
 
     def bucket_for(self, n: int, buckets: Tuple[int, ...]) -> int:
         """Smallest padding bucket that fits n items (bounds recompiles).

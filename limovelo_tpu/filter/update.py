@@ -79,7 +79,8 @@ def _match(
     pts_lidar: jnp.ndarray,
     mask: jnp.ndarray,
     grid: GridParams,
-    config,
+    static_cfg,
+    dyn,
 ):
     """`Mapper::match` (Mapper.cpp:40-56): place the window globally with the
     current estimate, KNN each point, fit planes, gate."""
@@ -87,8 +88,10 @@ def _match(
         jnp.einsum("ij,nj->ni", x.R, jnp.einsum("ij,nj->ni", x.R_LI, pts_lidar) + x.t_LI)
         + x.p
     )
-    nb, sq, nb_valid = knn(m, p_glob, grid, k=config.NUM_MATCH_POINTS, rings=config.knn_rings)
-    fit = fit_planes(nb, sq, nb_valid, config.MAX_DIST_PLANE, config.PLANES_THRESHOLD)
+    nb, sq, nb_valid = knn(
+        m, p_glob, grid, k=static_cfg.NUM_MATCH_POINTS, rings=static_cfg.knn_rings
+    )
+    fit = fit_planes(nb, sq, nb_valid, dyn.MAX_DIST_PLANE, dyn.PLANES_THRESHOLD)
     r = point_plane_distance(p_glob, fit)
     valid = fit.valid & mask
     return r, fit.normal, valid
@@ -101,7 +104,8 @@ def iterated_update(
     pts_lidar: jnp.ndarray,     # (N,3) deskewed window, LiDAR frame @ t2
     mask: jnp.ndarray,          # (N,)
     grid: GridParams,
-    config,
+    static_cfg,                 # config.StaticConfig (structure, static)
+    dyn,                        # config.DynParams (thresholds, traced)
     axis_name: str | None = None,
 ) -> Tuple[NavState, jnp.ndarray, UpdateDiagnostics]:
     """Run the full iterated update; returns (x⁺, P⁺, diagnostics).
@@ -114,15 +118,15 @@ def iterated_update(
     """
     dtype = pts_lidar.dtype
     psum = (lambda v: jax.lax.psum(v, axis_name)) if axis_name else (lambda v: v)
-    r_inv = 1.0 / config.LiDAR_noise            # measurement information
+    r_inv = 1.0 / dyn.LiDAR_noise               # measurement information
     P_inv = jnp.linalg.inv(P.astype(jnp.float32))
-    eps_limit = config.LIMITS
+    eps_limit = dyn.LIMITS
 
     def gn_iteration(carry, _):
         x, done, it = carry
-        r, normals, valid = _match(x, m, pts_lidar, mask, grid, config)
+        r, normals, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn)
         w = valid.astype(dtype)
-        H = observation_matrix(x, pts_lidar, normals, config.estimate_extrinsics)
+        H = observation_matrix(x, pts_lidar, normals, static_cfg.estimate_extrinsics)
         Hw = H * w[:, None]
 
         HtH = psum(Hw.T @ H)                             # (12,12), MXU
@@ -130,7 +134,7 @@ def iterated_update(
 
         # degeneracy gating on the unwhitened HᵀH spectrum
         eigval, eigvec = jnp.linalg.eigh(HtH)
-        strong = (eigval >= config.degeneracy_threshold).astype(dtype)
+        strong = (eigval >= dyn.degeneracy_threshold).astype(dtype)
 
         S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype)
         S = S.at[:12, :12].set(HtH * r_inv)
@@ -156,13 +160,13 @@ def iterated_update(
 
     init = (x0, jnp.asarray(False), jnp.zeros((), jnp.int32))
     (x, _, iters), (valids, rs, eigs, max_ds) = jax.lax.scan(
-        gn_iteration, init, None, length=config.MAX_NUM_ITERS
+        gn_iteration, init, None, length=static_cfg.MAX_NUM_ITERS
     )
 
     # final covariance + diagnostics from the last executed iteration
-    r, normals, valid = _match(x, m, pts_lidar, mask, grid, config)
+    r, normals, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn)
     w = valid.astype(dtype)
-    H = observation_matrix(x, pts_lidar, normals, config.estimate_extrinsics)
+    H = observation_matrix(x, pts_lidar, normals, static_cfg.estimate_extrinsics)
     Hw = H * w[:, None]
     HtH = psum(Hw.T @ H)
     S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype).at[:12, :12].set(HtH * r_inv) + P_inv

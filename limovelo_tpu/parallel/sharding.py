@@ -41,7 +41,7 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def _sharded_body(inp: StepInputs, m, config, grid: GridParams):
+def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
     """Per-device body; runs under shard_map with pts sharded on axis 0."""
     # replicated sequential pieces (cheap: 23-dim filter math)
     x_pred, P_pred = predict_window(inp.x, inp.P, inp.imus_filter, inp.t_integrated, inp.Q)
@@ -51,13 +51,13 @@ def _sharded_body(inp: StepInputs, m, config, grid: GridParams):
     # time-partitioned, so cross-shard duplicates are rare; the map insert
     # dedups again globally)
     pts_l2 = compensate(path, inp.anchor, inp.t2, inp.pts, inp.pts_t, inp.pts_mask)
-    ds = voxel_downsample(pts_l2, inp.pts_mask, config.downsample_prec)
+    ds = voxel_downsample(pts_l2, inp.pts_mask, inp.dyn.downsample_prec)
     total_ds = jax.lax.psum(ds.count, AXIS)
-    enough = total_ds >= config.MAX_POINTS2MATCH
+    enough = total_ds >= inp.dyn.MAX_POINTS2MATCH
 
     # sharded iterated update with psum'd normal equations
     x_corr, P_corr, diag = iterated_update(
-        x_pred, P_pred, m, ds.pts, ds.mask, grid, config, axis_name=AXIS
+        x_pred, P_pred, m, ds.pts, ds.mask, grid, static_cfg, inp.dyn, axis_name=AXIS
     )
     x_new = jax.tree.map(lambda c, p: jnp.where(enough, c, p), x_corr, x_pred)
     P_new = jnp.where(enough, P_corr, P_pred)
@@ -69,7 +69,7 @@ def _sharded_body(inp: StepInputs, m, config, grid: GridParams):
     R_wl = x_new.R @ x_new.R_LI
     t_wl = x_new.p + (x_new.R @ x_new.t_LI)
     g_ds = jnp.einsum("ij,nj->ni", R_wl, g_pts_all) + t_wl
-    ins_mask = g_mask_all & enough & jnp.asarray(config.mapping_online)
+    ins_mask = g_mask_all & enough & jnp.asarray(static_cfg.mapping_online)
     m_new = insert(m, g_ds, ins_mask, grid, downsample=True)
 
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
@@ -88,6 +88,7 @@ def _sharded_body(inp: StepInputs, m, config, grid: GridParams):
 def make_sharded_step(mesh: Mesh, config, grid: GridParams):
     """Build the jitted multi-device LIO step for `mesh`: window points
     sharded over AXIS, filter state and map replicated."""
+    static_cfg = config.static() if hasattr(config, "static") else config
     from ..filter.update import UpdateDiagnostics
     from ..mapping import HashGridMap
 
@@ -106,6 +107,7 @@ def make_sharded_step(mesh: Mesh, config, grid: GridParams):
                 imus_path=rep_tree(inp.imus_path),
                 pts=pt, pts_t=pt, pts_mask=pt,
                 t2=rep, Q=rep,
+                dyn=rep_tree(inp.dyn),
             ),
             rep_tree(m),
         )
@@ -120,7 +122,7 @@ def make_sharded_step(mesh: Mesh, config, grid: GridParams):
             diag=UpdateDiagnostics(rep, rep, rep, rep, rep),
         )
         f = jax.shard_map(
-            partial(_sharded_body, config=config, grid=grid),
+            partial(_sharded_body, static_cfg=static_cfg, grid=grid),
             mesh=mesh,
             in_specs=specs_in,
             out_specs=specs_out,

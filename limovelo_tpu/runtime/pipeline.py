@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from scipy.spatial.transform import Rotation as Rsc
 
 from ..deskew.compensate import build_path, compensate
+from ..config import DynParams
 from ..filter.process import ImuWindow, process_noise_Q
 from ..geometry import state as st
 from ..mapping import GridParams, insert, make_map
@@ -77,6 +78,8 @@ class LioPipeline:
         self.x = None
         self.P = None
         self.Q = process_noise_Q(config)
+        self.dyn = DynParams.from_config(config)
+        self._static = config.static()
         # times are kept in absolute float64 on host; rebased on device entry
         self.t2: Optional[float] = None
         self.last_time_updated: Optional[float] = None     # Localizator analog
@@ -198,8 +201,9 @@ class LioPipeline:
             pts_mask=jnp.asarray(mask),
             t2=jnp.float32(t2 - rebase),
             Q=self.Q,
+            dyn=self.dyn,
         )
-        out = lio_step(inp, self.map, cfg, self.grid)
+        out = lio_step(inp, self.map, self._static, self.grid)
 
         self.map = out.map
         self.x = out.x
@@ -282,7 +286,7 @@ class LioPipeline:
             self.map, a_x, jnp.float32(a_t - rebase), jnp.asarray(a_a),
             jnp.asarray(a_w), imus, self.x, jnp.float32(t2 - rebase),
             jnp.asarray(pts_pad), jnp.asarray(t_pad), jnp.asarray(mask),
-            cfg, self.grid,
+            self.dyn, self._static, self.grid,
         )
         self.map = m_new
 

@@ -54,6 +54,7 @@ class StepInputs(NamedTuple):
     pts_mask: jnp.ndarray       # (N,)
     t2: jnp.ndarray             # ()
     Q: jnp.ndarray              # (12,12) process noise
+    dyn: object                 # config.DynParams — traced thresholds/noises
 
 
 class StepOutputs(NamedTuple):
@@ -67,7 +68,7 @@ class StepOutputs(NamedTuple):
     diag: UpdateDiagnostics
 
 
-@partial(jax.jit, static_argnames=("config", "grid"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("static_cfg", "grid"), donate_argnums=(0,))
 def mapping_step(
     m: HashGridMap,
     anchor: NavState,
@@ -80,7 +81,8 @@ def mapping_step(
     pts,
     pts_t,
     pts_mask,
-    config,
+    dyn,
+    static_cfg,
     grid: GridParams,
 ):
     """Offline-mode map update (main.cpp:107-117): re-deskew the FULL last
@@ -93,13 +95,13 @@ def mapping_step(
     R_wl = x_t2.R @ x_t2.R_LI
     t_wl = x_t2.p + (x_t2.R @ x_t2.t_LI)
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
-    ds = voxel_downsample(g_full, pts_mask, config.downsample_prec)
+    ds = voxel_downsample(g_full, pts_mask, dyn.downsample_prec)
     m_new = insert(m, ds.pts, ds.mask, grid, downsample=True)
     return m_new, g_full, pts_mask
 
 
-@partial(jax.jit, static_argnames=("config", "grid"), donate_argnums=(1,))
-def lio_step(inp: StepInputs, m: HashGridMap, config, grid: GridParams) -> StepOutputs:
+@partial(jax.jit, static_argnames=("static_cfg", "grid"), donate_argnums=(1,))
+def lio_step(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams) -> StepOutputs:
     # ---- Step 1a: IMU propagation (Localizator::propagate_to) ----
     x_pred, P_pred = predict_window(inp.x, inp.P, inp.imus_filter, inp.t_integrated, inp.Q)
 
@@ -108,12 +110,12 @@ def lio_step(inp: StepInputs, m: HashGridMap, config, grid: GridParams) -> StepO
     pts_l2 = compensate(path, inp.anchor, inp.t2, inp.pts, inp.pts_t, inp.pts_mask)
 
     # ---- Step 1c: spatial downsample (Compensator::downsample) ----
-    ds = voxel_downsample(pts_l2, inp.pts_mask, config.downsample_prec)
-    enough = ds.count >= config.MAX_POINTS2MATCH
+    ds = voxel_downsample(pts_l2, inp.pts_mask, inp.dyn.downsample_prec)
+    enough = ds.count >= inp.dyn.MAX_POINTS2MATCH
 
     # ---- Step 1d: iterated point-to-plane update (Localizator::correct) ----
     x_corr, P_corr, diag = iterated_update(
-        x_pred, P_pred, m, ds.pts, ds.mask, grid, config
+        x_pred, P_pred, m, ds.pts, ds.mask, grid, static_cfg, inp.dyn
     )
     x_new = jax.tree.map(lambda c, p: jnp.where(enough, c, p), x_corr, x_pred)
     P_new = jnp.where(enough, P_corr, P_pred)
@@ -123,7 +125,7 @@ def lio_step(inp: StepInputs, m: HashGridMap, config, grid: GridParams) -> StepO
     R_wl = x_new.R @ x_new.R_LI
     t_wl = x_new.p + (x_new.R @ x_new.t_LI)
     g_ds = jnp.einsum("ij,nj->ni", R_wl, ds.pts) + t_wl
-    ins_mask = ds.mask & enough & jnp.asarray(config.mapping_online)
+    ins_mask = ds.mask & enough & jnp.asarray(static_cfg.mapping_online)
     m_new = insert(m, g_ds, ins_mask, grid, downsample=True)
 
     # full-resolution window in world frame, for publishing / offline mapping

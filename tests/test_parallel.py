@@ -29,7 +29,7 @@ class TestShardedStep:
         inp, config, grid = example
         assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
 
-        out_ref = lio_step(inp, make_map(grid), config, grid)
+        out_ref = lio_step(inp, make_map(grid), config.static(), grid)
 
         mesh = make_mesh(jax.devices()[:8])
         step = make_sharded_step(mesh, config, grid)

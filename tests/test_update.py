@@ -62,7 +62,8 @@ class TestIteratedUpdate:
         P = st.initial_covariance()
 
         x_new, P_new, diag = iterated_update(
-            x0, P, m, jnp.asarray(scan), jnp.ones(len(scan), bool), GRID, cfg
+            x0, P, m, jnp.asarray(scan), jnp.ones(len(scan), bool), GRID,
+            cfg.static(), cfg.dynamic()
         )
         # recovered pose ≈ identity
         p_err = np.linalg.norm(np.asarray(x_new.p))
@@ -80,7 +81,8 @@ class TestIteratedUpdate:
         P = st.initial_covariance()
         scan = rng.uniform(-5, 5, size=(256, 3)).astype(np.float32)
         x_new, P_new, diag = iterated_update(
-            x0, P, m, jnp.asarray(scan), jnp.ones(256, bool), GRID, cfg
+            x0, P, m, jnp.asarray(scan), jnp.ones(256, bool), GRID,
+            cfg.static(), cfg.dynamic()
         )
         assert int(diag.num_matches) == 0
         np.testing.assert_allclose(np.asarray(x_new.p), np.asarray(x0.p), atol=1e-5)
@@ -111,10 +113,12 @@ class TestIteratedUpdate:
         P = st.initial_covariance()
 
         x_open, _, _ = iterated_update(
-            x0, P, m, jnp.asarray(scan), jnp.ones(600, bool), GRID, cfg_open
+            x0, P, m, jnp.asarray(scan), jnp.ones(600, bool), GRID,
+            cfg_open.static(), cfg_open.dynamic()
         )
         x_gated, _, _ = iterated_update(
-            x0, P, m, jnp.asarray(scan), jnp.ones(600, bool), GRID, cfg_gated
+            x0, P, m, jnp.asarray(scan), jnp.ones(600, bool), GRID,
+            cfg_gated.static(), cfg_gated.dynamic()
         )
         # open: z recovered toward 1.5; gated: frozen at 1.8
         assert abs(float(x_open.p[2]) - 1.5) < 0.1
