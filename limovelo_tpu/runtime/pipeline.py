@@ -246,12 +246,13 @@ class LioPipeline:
         )
         if updated:
             self.result.records.append(rec)
+            # keep the latest global-frame window for keyframing (runtime/slam.py)
+            self._last_gpts = np.asarray(out.global_pts)[np.asarray(out.global_mask)]
             if self.publisher is not None:
                 # publish.state + window cloud (main.cpp:87-93); full-res
                 # cloud when high_quality_publish
                 self.publisher.state(rec)
-                g = np.asarray(out.global_pts)[np.asarray(out.global_mask)]
-                self.publisher.cloud(g, t2)
+                self.publisher.cloud(self._last_gpts, t2)
 
         # Step 3: GC (main.cpp:122)
         self.accum.clear_lidar(t2 - cfg.empty_lidar_time)

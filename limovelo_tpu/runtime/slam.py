@@ -1,0 +1,126 @@
+"""SLAM layer: LIO pipeline + keyframes + loop closure + pose-graph backend.
+
+Beyond-reference capability (the reference is pure odometry; README.md:5-6
+notes successor projects exist precisely to add what's missing here).  The
+`SlamPipeline` wraps `LioPipeline`:
+
+- every accepted update is offered to the keyframe selector (scan stored in
+  the LiDAR frame at its own pose);
+- periodically, loop candidates are detected by trajectory proximity and
+  verified/measured by point-to-plane registration of the two keyframes'
+  scans (graph/loop_closure.py);
+- the pose graph (odometry chain + loop edges) is re-optimized on device and
+  the corrected keyframe trajectory exposed via `optimized_trajectory()`.
+
+The live filter state is NOT rewritten on closure (loop closures correct the
+trajectory/map product, not the real-time estimator) — the standard
+LIO-SAM-style separation of odometry frontend and graph backend.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..graph import (
+    KeyframeSelector,
+    KeyframeStore,
+    PoseGraph,
+    detect_loop_candidates,
+    optimize_pose_graph,
+    register_scan_to_map,
+)
+from .pipeline import LioPipeline
+
+
+class SlamPipeline(LioPipeline):
+    def __init__(
+        self,
+        config,
+        grid=None,
+        publisher=None,
+        kf_min_translation: float = 2.0,
+        kf_min_rotation_deg: float = 15.0,
+        loop_check_every: int = 5,
+        loop_min_index_gap: int = 20,
+        loop_max_distance: float = 5.0,
+        loop_max_rms: float = 0.15,
+    ):
+        super().__init__(config, grid=grid, publisher=publisher)
+        self.keyframes = KeyframeStore(
+            KeyframeSelector(kf_min_translation, kf_min_rotation_deg)
+        )
+        self.loop_edges: List[Tuple[int, int]] = []
+        self._graph_loops: List[tuple] = []
+        self._loop_check_every = loop_check_every
+        self._loop_min_index_gap = loop_min_index_gap
+        self._loop_max_distance = loop_max_distance
+        self._loop_max_rms = loop_max_rms
+        self._closed_pairs = set()
+
+    # ------------------------------------------------------------------
+    def step_window(self, t1, t2):
+        rec = super().step_window(t1, t2)
+        if rec is not None and rec.updated:
+            self._maybe_keyframe(rec)
+        return rec
+
+    def _maybe_keyframe(self, rec):
+        # store the downsampled deskewed scan in LiDAR frame: reconstruct it
+        # from the latest window's global points by inverting the pose
+        g = self._last_global_scan()
+        if g is None:
+            return
+        R_wl = rec.R @ np.asarray(self.x.R_LI)
+        t_wl = rec.p + rec.R @ np.asarray(self.x.t_LI)
+        scan_lidar = (g - t_wl) @ R_wl
+        kf = self.keyframes.maybe_add(rec.t, rec.R, rec.p, scan_lidar.astype(np.float32))
+        if kf is not None and len(self.keyframes) % self._loop_check_every == 0:
+            self._check_loops()
+
+    def _last_global_scan(self) -> Optional[np.ndarray]:
+        return getattr(self, "_last_gpts", None)
+
+    # pipeline hook: capture the published global window
+    def _capture_global(self, gpts):
+        self._last_gpts = gpts
+
+    # ------------------------------------------------------------------
+    def _check_loops(self):
+        frames = self.keyframes.frames
+        ps = self.keyframes.positions(optimized=False)
+        for i, j in detect_loop_candidates(
+            ps, self._loop_min_index_gap, self._loop_max_distance
+        ):
+            if (i, j) in self._closed_pairs:
+                continue
+            self._closed_pairs.add((i, j))
+            fi, fj = frames[i], frames[j]
+            # register scan_i against scan_j's points placed in fj's frame
+            # initial guess: odometry relative pose
+            R0 = fj.R.T @ fi.R
+            p0 = fj.R.T @ (fi.p - fj.p)
+            R, p, rms, n = register_scan_to_map(
+                fi.scan, fj.scan, R0.astype(np.float32), p0.astype(np.float32)
+            )
+            if rms < self._loop_max_rms and n > 200:
+                self.loop_edges.append((i, j))
+                self._graph_loops.append((j, i, R, p))
+
+    # ------------------------------------------------------------------
+    def optimized_trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(Re-)optimize the pose graph; returns corrected (Rs, ps)."""
+        frames = self.keyframes.frames
+        if len(frames) < 2:
+            return self.keyframes.positions(False), self.keyframes.positions(False)
+        Rs = np.stack([f.R for f in frames]).astype(np.float32)
+        ps = np.stack([f.p for f in frames]).astype(np.float32)
+        g = PoseGraph()
+        g.add_odometry_chain(Rs, ps)
+        for (j, i, R, p) in self._graph_loops:
+            g.add_edge(j, i, R, p, weight=50.0)
+        Rs2, ps2, _ = optimize_pose_graph(g, Rs, ps, iters=10)
+        for f, R, p in zip(frames, Rs2, ps2):
+            f.R_opt, f.p_opt = R, p
+        return Rs2, ps2
