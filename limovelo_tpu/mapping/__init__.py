@@ -1,3 +1,21 @@
-from .hashgrid import EMPTY_KEY, GridParams, HashGridMap, insert, knn, make_map
+from .hashgrid import (
+    EMPTY_KEY,
+    TOMBSTONE_KEY,
+    GridParams,
+    HashGridMap,
+    insert,
+    knn,
+    make_map,
+    prune,
+)
 
-__all__ = ["EMPTY_KEY", "GridParams", "HashGridMap", "insert", "knn", "make_map"]
+__all__ = [
+    "EMPTY_KEY",
+    "TOMBSTONE_KEY",
+    "GridParams",
+    "HashGridMap",
+    "insert",
+    "knn",
+    "make_map",
+    "prune",
+]

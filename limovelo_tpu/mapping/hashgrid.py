@@ -32,7 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-EMPTY_KEY = jnp.iinfo(jnp.int32).min  # sentinel for unoccupied bucket
+EMPTY_KEY = jnp.iinfo(jnp.int32).min       # never-used bucket (stops probes)
+TOMBSTONE_KEY = jnp.iinfo(jnp.int32).min + 1  # pruned bucket: probes continue
+                                              # past it, inserts may reclaim it
 
 
 class HashGridMap(NamedTuple):
@@ -157,7 +159,10 @@ def _find_or_claim_buckets(m: HashGridMap, coarse, active, params: GridParams):
         cand = (h0 + off) % T
         stored = keys[cand]                                 # (N,3)
         is_match = jnp.all(stored == coarse, axis=-1) & pending
-        is_empty = jnp.all(stored == EMPTY_KEY, axis=-1) & pending & ~is_match
+        claimable = jnp.all(stored == EMPTY_KEY, axis=-1) | jnp.all(
+            stored == TOMBSTONE_KEY, axis=-1
+        )
+        is_empty = claimable & pending & ~is_match
 
         # claim an empty bucket: scatter-min of row index, deterministic winner
         claims = jnp.full((T,), jnp.iinfo(jnp.int32).max, jnp.int32)
@@ -196,6 +201,8 @@ def _lookup_buckets(keys, coarse, params: GridParams):
         cand = (h0 + i) % T
         stored = keys[cand]
         is_match = jnp.all(stored == coarse, axis=-1)
+        # only a never-used bucket terminates a probe chain; tombstones
+        # (pruned buckets) must be probed past
         is_empty = jnp.all(stored == EMPTY_KEY, axis=-1)
         bucket = jnp.where(is_match & ~done, cand, bucket)
         done = done | is_match | is_empty
@@ -224,10 +231,14 @@ def insert(m: HashGridMap, pts, mask, params: GridParams, downsample: bool = Tru
 
     keys, bucket, found = _find_or_claim_buckets(m, coarse, keep, params)
 
-    # count newly-claimed buckets (bucket rows whose key changed from EMPTY)
-    newly_claimed = jnp.sum(
-        jnp.all(m.keys == EMPTY_KEY, axis=-1) & ~jnp.all(keys == EMPTY_KEY, axis=-1)
+    # count newly-claimed buckets (rows going from EMPTY/TOMBSTONE to a key)
+    was_free = jnp.all(m.keys == EMPTY_KEY, axis=-1) | jnp.all(
+        m.keys == TOMBSTONE_KEY, axis=-1
     )
+    now_free = jnp.all(keys == EMPTY_KEY, axis=-1) | jnp.all(
+        keys == TOMBSTONE_KEY, axis=-1
+    )
+    newly_claimed = jnp.sum(was_free & ~now_free)
 
     # insert policy: write if strictly closer to the fine-cell center than the
     # incumbent (empty slots hold +inf).  After dedup each (bucket, slot) has
@@ -249,6 +260,36 @@ def insert(m: HashGridMap, pts, mask, params: GridParams, downsample: bool = Tru
         cell_d2=d2_new,
         num_points=m.num_points + n_new,
         num_buckets=m.num_buckets + newly_claimed.astype(jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
+def prune(m: HashGridMap, center: jnp.ndarray, radius, params: GridParams) -> HashGridMap:
+    """Forget buckets farther than `radius` from `center` (world frame).
+
+    Bounds map memory on long trajectories — the analog of the reference's
+    buffer GC (`clear_lidar`, main.cpp:122) applied to the map, which the
+    reference never does (its ikd-Tree grows without bound, SURVEY.md §5
+    long-context row).  One elementwise pass over the table; no rebuild.
+    """
+    centers = (m.keys.astype(m.pts.dtype) + 0.5) * params.coarse_size
+    occupied_bucket = jnp.any(m.keys != EMPTY_KEY, axis=-1)
+    far = occupied_bucket & (
+        jnp.linalg.norm(centers - center[None, :], axis=-1) > radius
+    )
+    slots_dropped = jnp.sum(
+        jnp.where(far[:, None], jnp.isfinite(m.cell_d2), False)
+    ).astype(jnp.int32)
+    # tombstone, not empty: later lookups must probe past pruned buckets so
+    # longer chains stay reachable
+    keys = jnp.where(far[:, None], TOMBSTONE_KEY, m.keys)
+    cell_d2 = jnp.where(far[:, None], jnp.inf, m.cell_d2)
+    return HashGridMap(
+        keys=keys,
+        pts=m.pts,
+        cell_d2=cell_d2,
+        num_points=m.num_points - slots_dropped,
+        num_buckets=m.num_buckets - jnp.sum(far).astype(jnp.int32),
     )
 
 

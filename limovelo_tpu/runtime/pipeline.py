@@ -209,7 +209,14 @@ class LioPipeline:
         self.x = out.x
         self.P = out.P
         self.last_time_integrated = t2
-        updated = bool(out.updated)
+        # ONE device→host pull for everything the host needs this step
+        # (each separate scalar read is a full round trip — expensive over a
+        # remote-TPU tunnel)
+        updated, ds_count, n_matches, mean_res, iters, R_h, p_h, v_h = jax.device_get(
+            (out.updated, out.ds_count, out.diag.num_matches,
+             out.diag.mean_residual, out.diag.iterations, out.x.R, out.x.p, out.x.v)
+        )
+        updated = bool(updated)
         if updated:
             # corrected state becomes the new deskew anchor (BUFFER_X push)
             self.anchor = out.x
@@ -234,20 +241,21 @@ class LioPipeline:
 
         rec = StepRecord(
             t=t2,
-            R=np.asarray(out.x.R),
-            p=np.asarray(out.x.p),
-            v=np.asarray(out.x.v),
+            R=np.asarray(R_h),
+            p=np.asarray(p_h),
+            v=np.asarray(v_h),
             updated=updated,
-            ds_count=int(out.ds_count),
-            num_matches=int(out.diag.num_matches),
-            mean_residual=float(out.diag.mean_residual),
-            iterations=int(out.diag.iterations),
+            ds_count=int(ds_count),
+            num_matches=int(n_matches),
+            mean_residual=float(mean_res),
+            iterations=int(iters),
             wall_ms=(_time.perf_counter() - wall0) * 1e3,
         )
         if updated:
             self.result.records.append(rec)
-            # keep the latest global-frame window for keyframing (runtime/slam.py)
-            self._last_gpts = np.asarray(out.global_pts)[np.asarray(out.global_mask)]
+            # keep device handles; materialize lazily (pulling the full cloud
+            # every step costs a host↔device round trip it rarely needs)
+            self._last_gpts_dev = (out.global_pts, out.global_mask)
             if self.publisher is not None:
                 # publish.state + window cloud (main.cpp:87-93); full-res
                 # cloud when high_quality_publish
@@ -258,6 +266,16 @@ class LioPipeline:
         self.accum.clear_lidar(t2 - cfg.empty_lidar_time)
         self.accum.clear_imus(min(self.anchor_t, self.last_time_integrated) - 1.0)
         return rec
+
+    # ------------------------------------------------------------------
+    @property
+    def _last_gpts(self):
+        """Latest global-frame window, materialized on demand."""
+        dev = getattr(self, "_last_gpts_dev", None)
+        if dev is None:
+            return None
+        g, msk = jax.device_get(dev)
+        return g[msk]
 
     # ------------------------------------------------------------------
     def _offline_map(self, t2: float, rebase: float):

@@ -78,6 +78,45 @@ class TestInsert:
         assert int(m.num_buckets) == 1
 
 
+class TestPrune:
+    def test_prune_drops_far_keeps_near(self, rng):
+        from limovelo_tpu.mapping import prune
+
+        near = rng.uniform(-2, 2, size=(200, 3)).astype(np.float32)
+        far = rng.uniform(20, 24, size=(200, 3)).astype(np.float32)
+        m = make_map(GRID)
+        m = insert(m, jnp.asarray(np.concatenate([near, far])), jnp.ones(400, bool), GRID)
+        n_before = int(m.num_points)
+        m = prune(m, jnp.zeros(3, jnp.float32), 10.0, GRID)
+        n_after = int(m.num_points)
+        assert n_after < n_before
+        # near points still queryable
+        q = rng.uniform(-1, 1, size=(16, 3)).astype(np.float32)
+        _, _, valid = knn(m, jnp.asarray(q), GRID, k=5)
+        assert np.asarray(valid).any()
+        # far region gone
+        qf = np.full((4, 3), 22.0, np.float32)
+        _, _, validf = knn(m, jnp.asarray(qf), GRID, k=5)
+        assert not np.asarray(validf).any()
+
+    def test_reinsert_after_prune(self, rng):
+        from limovelo_tpu.mapping import prune
+
+        pts = rng.uniform(-3, 3, size=(300, 3)).astype(np.float32)
+        m = make_map(GRID)
+        m = insert(m, jnp.asarray(pts), jnp.ones(300, bool), GRID)
+        m = prune(m, jnp.zeros(3, jnp.float32), 0.0, GRID)  # drop everything
+        assert int(m.num_points) == 0
+        # tombstoned table must accept fresh inserts and stay queryable
+        m = insert(m, jnp.asarray(pts), jnp.ones(300, bool), GRID)
+        vox = np.unique(np.floor(pts / 0.2).astype(np.int64), axis=0)
+        assert int(m.num_points) == len(vox)
+        q = pts[:16]
+        _, sq, valid = knn(m, jnp.asarray(q), GRID, k=1)
+        assert np.asarray(valid).all()
+        np.testing.assert_allclose(np.asarray(sq)[:, 0], 0.0, atol=1e-9)
+
+
 class TestKNN:
     def test_vs_bruteforce_dense(self, rng):
         """Dense map: hash-grid KNN must equal exact KNN (all NNs well within
