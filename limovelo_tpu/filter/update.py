@@ -81,6 +81,7 @@ def _match(
     grid: GridParams,
     static_cfg,
     dyn,
+    knn_fn=None,
 ):
     """`Mapper::match` (Mapper.cpp:40-56): place the window globally with the
     current estimate, KNN each point, fit planes, gate."""
@@ -88,7 +89,7 @@ def _match(
         jnp.einsum("ij,nj->ni", x.R, jnp.einsum("ij,nj->ni", x.R_LI, pts_lidar) + x.t_LI)
         + x.p
     )
-    nb, sq, nb_valid = knn(
+    nb, sq, nb_valid = (knn_fn or knn)(
         m, p_glob, grid, k=static_cfg.NUM_MATCH_POINTS, rings=static_cfg.knn_rings
     )
     fit = fit_planes(nb, sq, nb_valid, dyn.MAX_DIST_PLANE, dyn.PLANES_THRESHOLD)
@@ -107,6 +108,7 @@ def iterated_update(
     static_cfg,                 # config.StaticConfig (structure, static)
     dyn,                        # config.DynParams (thresholds, traced)
     axis_name: str | None = None,
+    knn_fn=None,
 ) -> Tuple[NavState, jnp.ndarray, UpdateDiagnostics]:
     """Run the full iterated update; returns (x⁺, P⁺, diagnostics).
 
@@ -115,6 +117,9 @@ def iterated_update(
     normal equations HᵀR⁻¹H / HᵀR⁻¹r — exact sums over points — are reduced
     with a `psum`, making the update bit-identical to the single-device one
     (SURVEY.md §2 parallelism table: lossless point-batch sharding).
+
+    `knn_fn` swaps the map query (same signature as `mapping.knn`) — used by
+    the map-sharded path (parallel/map_sharding.py ring KNN).
     """
     dtype = pts_lidar.dtype
     psum = (lambda v: jax.lax.psum(v, axis_name)) if axis_name else (lambda v: v)
@@ -124,7 +129,7 @@ def iterated_update(
 
     def gn_iteration(carry, _):
         x, done, it = carry
-        r, normals, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn)
+        r, normals, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn, knn_fn)
         w = valid.astype(dtype)
         H = observation_matrix(x, pts_lidar, normals, static_cfg.estimate_extrinsics)
         Hw = H * w[:, None]
@@ -164,7 +169,7 @@ def iterated_update(
     )
 
     # final covariance + diagnostics from the last executed iteration
-    r, normals, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn)
+    r, normals, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn, knn_fn)
     w = valid.astype(dtype)
     H = observation_matrix(x, pts_lidar, normals, static_cfg.estimate_extrinsics)
     Hw = H * w[:, None]

@@ -116,38 +116,49 @@ def _edge_residuals_jacobians(Rs, ps, ei, ej, rel_R, rel_p):
     return r, Ji, Jj
 
 
+def _build_normal_equations(Rs, ps, ei, ej, rel_R, rel_p, w, K: int):
+    """Dense GN normal equations from an edge batch: (Hd (6K,6K), bd (6K),
+    cost ()).  An exact sum over edges — the shardable reduction of the
+    distributed-BA path (edge shards psum their contributions)."""
+    r, Ji, Jj = _edge_residuals_jacobians(Rs, ps, ei, ej, rel_R, rel_p)
+    wJi = Ji * w[:, None, None]
+    wJj = Jj * w[:, None, None]
+
+    H = jnp.zeros((K, K, 6, 6), Rs.dtype)
+    b = jnp.zeros((K, 6), Rs.dtype)
+    JiTJi = jnp.einsum("eki,ekj->eij", wJi, Ji)
+    JjTJj = jnp.einsum("eki,ekj->eij", wJj, Jj)
+    JiTJj = jnp.einsum("eki,ekj->eij", wJi, Jj)
+    H = H.at[ei, ei].add(JiTJi)
+    H = H.at[ej, ej].add(JjTJj)
+    H = H.at[ei, ej].add(JiTJj)
+    H = H.at[ej, ei].add(jnp.swapaxes(JiTJj, -1, -2))
+    b = b.at[ei].add(jnp.einsum("eki,ek->ei", wJi, r))
+    b = b.at[ej].add(jnp.einsum("eki,ek->ei", wJj, r))
+
+    Hd = H.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    bd = b.reshape(6 * K)
+    cost = jnp.sum(r * r * w[:, None])
+    return Hd, bd, cost
+
+
+def _apply_gn_step(Rs, ps, Hd, bd, K: int):
+    """Gauge prior on pose 0 + Levenberg damping, dense solve, manifold ⊞."""
+    prior = jnp.zeros(6 * K, Rs.dtype).at[:6].set(1e6) + 1e-6
+    delta = -jnp.linalg.solve(Hd + jnp.diag(prior), bd).reshape(K, 6)
+    ps_new = ps + delta[:, :3]
+    Rs_new = Rs @ so3.exp(delta[:, 3:])
+    return Rs_new, ps_new
+
+
 @partial(jax.jit, static_argnames=("num_poses", "iters"))
 def _solve_graph(Rs, ps, ei, ej, rel_R, rel_p, w, num_poses: int, iters: int = 10):
     K = num_poses
 
     def gn(carry, _):
         Rs, ps = carry
-        r, Ji, Jj = _edge_residuals_jacobians(Rs, ps, ei, ej, rel_R, rel_p)
-        wJi = Ji * w[:, None, None]
-        wJj = Jj * w[:, None, None]
-
-        H = jnp.zeros((K, K, 6, 6), Rs.dtype)
-        b = jnp.zeros((K, 6), Rs.dtype)
-        JiTJi = jnp.einsum("eki,ekj->eij", wJi, Ji)
-        JjTJj = jnp.einsum("eki,ekj->eij", wJj, Jj)
-        JiTJj = jnp.einsum("eki,ekj->eij", wJi, Jj)
-        H = H.at[ei, ei].add(JiTJi)
-        H = H.at[ej, ej].add(JjTJj)
-        H = H.at[ei, ej].add(JiTJj)
-        H = H.at[ej, ei].add(jnp.swapaxes(JiTJj, -1, -2))
-        b = b.at[ei].add(jnp.einsum("eki,ek->ei", wJi, r))
-        b = b.at[ej].add(jnp.einsum("eki,ek->ei", wJj, r))
-
-        Hd = H.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-        bd = b.reshape(6 * K)
-        # gauge prior on pose 0 + Levenberg damping
-        prior = jnp.zeros(6 * K, Rs.dtype).at[:6].set(1e6) + 1e-6
-        Hd = Hd + jnp.diag(prior)
-        delta = -jnp.linalg.solve(Hd, bd).reshape(K, 6)
-
-        ps_new = ps + delta[:, :3]
-        Rs_new = Rs @ so3.exp(delta[:, 3:])
-        return (Rs_new, ps_new), jnp.sum(r * r * w[:, None])
+        Hd, bd, cost = _build_normal_equations(Rs, ps, ei, ej, rel_R, rel_p, w, K)
+        return _apply_gn_step(Rs, ps, Hd, bd, K), cost
 
     (Rs, ps), costs = jax.lax.scan(gn, (Rs, ps), None, length=iters)
     return Rs, ps, costs
@@ -161,5 +172,73 @@ def optimize_pose_graph(
     Rs, ps, costs = _solve_graph(
         jnp.asarray(Rs0, jnp.float32), jnp.asarray(ps0, jnp.float32),
         ei, ej, rel_R, rel_p, w, num_poses=len(ps0), iters=iters,
+    )
+    return np.asarray(Rs), np.asarray(ps), np.asarray(costs)
+
+
+# ---------------------------------------------------------------------------
+# distributed BA: edge-sharded Gauss-Newton over a device mesh
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_solver(mesh, num_poses: int, iters: int = 10):
+    """Edge-sharded pose-graph GN: edges partitioned over the mesh, each
+    device builds its shard's normal-equation contribution, `psum` reduces
+    (the sum over edges is exact — lossless, bit-comparable to one device),
+    and the dense 6K×6K solve runs replicated.
+
+    This is the distributed-BA axis of SURVEY.md §2's parallelism table
+    ("keyframe sharding ... Schur-complement reduction via collectives"):
+    with landmark-free pose-graph edges the Schur complement degenerates to
+    the plain psum'd normal equations implemented here.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    AXIS = mesh.axis_names[0]
+    K = num_poses
+
+    def body(Rs, ps, ei, ej, rel_R, rel_p, w):
+        def gn(carry, _):
+            Rs, ps = carry
+            Hd, bd, cost = _build_normal_equations(Rs, ps, ei, ej, rel_R, rel_p, w, K)
+            Hd = jax.lax.psum(Hd, AXIS)
+            bd = jax.lax.psum(bd, AXIS)
+            cost = jax.lax.psum(cost, AXIS)
+            return _apply_gn_step(Rs, ps, Hd, bd, K), cost
+
+        (Rs, ps), costs = jax.lax.scan(gn, (Rs, ps), None, length=iters)
+        return Rs, ps, costs
+
+    e, rep = P(AXIS), P()
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, e, e, e, e, e),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def optimize_pose_graph_sharded(
+    graph: PoseGraph, Rs0: np.ndarray, ps0: np.ndarray, mesh, iters: int = 10
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed-BA entry point: pads the edge set to the mesh size (zero-
+    weight identity edges are exact no-ops in the psum) and solves."""
+    ei, ej, rel_R, rel_p, w = (np.asarray(a) for a in graph.arrays())
+    D = int(mesh.devices.size)
+    E = len(w)
+    pad = (-E) % D
+    if pad:
+        ei = np.concatenate([ei, np.zeros(pad, np.int32)])
+        ej = np.concatenate([ej, np.zeros(pad, np.int32)])
+        rel_R = np.concatenate([rel_R, np.broadcast_to(np.eye(3, dtype=np.float32), (pad, 3, 3))])
+        rel_p = np.concatenate([rel_p, np.zeros((pad, 3), np.float32)])
+        w = np.concatenate([w, np.zeros(pad, np.float32)])
+
+    solver = make_sharded_solver(mesh, num_poses=len(ps0), iters=iters)
+    Rs, ps, costs = solver(
+        jnp.asarray(Rs0, jnp.float32), jnp.asarray(ps0, jnp.float32),
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(rel_R),
+        jnp.asarray(rel_p), jnp.asarray(w),
     )
     return np.asarray(Rs), np.asarray(ps), np.asarray(costs)

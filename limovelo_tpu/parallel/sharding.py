@@ -165,3 +165,24 @@ def dryrun(n_devices: int) -> None:
     out = step(inp, m)
     jax.block_until_ready(out.x)
     assert out.P.shape == (23, 23)
+
+    # map-block sharded variant: table rows partitioned over the mesh,
+    # ring-ppermute KNN, ownership-routed inserts
+    from . import map_sharding as ms
+
+    mstep = ms.make_map_sharded_step(mesh, config, grid)
+    m_sh = ms.make_sharded_map(mesh, grid)
+    out2 = mstep(inp, m_sh)
+    jax.block_until_ready(out2.x)
+    assert out2.P.shape == (23, 23)
+
+    # distributed BA: edge-sharded pose-graph GN with psum'd normal equations
+    from ..graph.posegraph import PoseGraph, optimize_pose_graph_sharded
+
+    K = 8
+    Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (K, 3, 3)).copy()
+    ps = np.stack([np.arange(K, dtype=np.float32), np.zeros(K, np.float32),
+                   np.zeros(K, np.float32)], 1)
+    g = PoseGraph()
+    g.add_odometry_chain(Rs, ps)
+    optimize_pose_graph_sharded(g, Rs, ps, mesh, iters=2)
