@@ -35,6 +35,10 @@ import numpy as np
 EMPTY_KEY = jnp.iinfo(jnp.int32).min       # never-used bucket (stops probes)
 TOMBSTONE_KEY = jnp.iinfo(jnp.int32).min + 1  # pruned bucket: probes continue
                                               # past it, inserts may reclaim it
+FAR = 1.0e9           # coordinate sentinel for empty point slots: any query is
+                      # ≥ ~1e18 away, so empty slots lose every distance contest
+                      # without an occupancy mask (the Pallas KNN kernel relies
+                      # on this; the XLA path also masks via cell_d2)
 
 
 class HashGridMap(NamedTuple):
@@ -77,7 +81,7 @@ def make_map(params: GridParams, dtype=jnp.float32) -> HashGridMap:
     T, S = params.table_size, params.slots
     return HashGridMap(
         keys=jnp.full((T, 3), EMPTY_KEY, jnp.int32),
-        pts=jnp.zeros((T, S, 3), dtype),
+        pts=jnp.full((T, S, 3), FAR, dtype),
         cell_d2=jnp.full((T, S), jnp.inf, dtype),
         num_points=jnp.zeros((), jnp.int32),
         num_buckets=jnp.zeros((), jnp.int32),
@@ -286,7 +290,7 @@ def prune(m: HashGridMap, center: jnp.ndarray, radius, params: GridParams) -> Ha
     cell_d2 = jnp.where(far[:, None], jnp.inf, m.cell_d2)
     return HashGridMap(
         keys=keys,
-        pts=m.pts,
+        pts=jnp.where(far[:, None, None], FAR, m.pts),
         cell_d2=cell_d2,
         num_points=m.num_points - slots_dropped,
         num_buckets=m.num_buckets - jnp.sum(far).astype(jnp.int32),

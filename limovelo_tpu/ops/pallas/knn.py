@@ -13,25 +13,40 @@ This kernel exploits that:
    then resolves each group's 27 neighbor buckets with one probe sweep (per
    group, not per query — a 27× reduction in probe work too).
 2. The kernel runs one grid step per group: DMA the group's 27 buckets
-   (27×64 points ≈ 20 KB) HBM→VMEM once, compute all GROUP_CAP×1728
-   distances on the VPU, select the k best, write grouped results.
-3. A final XLA gather un-permutes grouped results back to query order.
+   (27×64 points ≈ 20 KB) HBM→VMEM once into a flat (27·S, 3) candidate
+   buffer, compute all GROUP_CAP×1728 distances with ONE MXU matmul (the
+   homogeneous-coordinate trick below), and select the k best per query.
+3. A final XLA pass gathers neighbor coordinates from the winning
+   (bucket, slot) indices and un-permutes back to query order.
 
-HBM traffic drops from N×27×64 to (#groups)×27×64 points — typically ~10×
-less for automotive scans (many queries per occupied voxel).
-
-STATUS (round 1): correctness-validated in interpret mode (exact match vs
-`mapping.knn` with g_max=N).  The Mosaic compile path currently rejects the
-(27,S)→(27·S,) flatten inside the kernel; the fix is a structure-of-arrays
-map layout (pts as (T,3,S) so per-coordinate planes are (·,S) tiles) plus an
-incremental per-bucket top-k merge — queued for the next round together with
-spatial super-tiling (load a 6³ bucket tile once for all queries in its 4³
-interior, amortizing neighborhoods ~8× independent of query clustering).
-The XLA path remains the production KNN (full step already ~46× the
-reference's headline rate).
+Mosaic-friendliness (why this shape of kernel compiles where the obvious one
+does not):
+- No in-kernel reshapes/transposes: candidates land flat via 27 sliced DMAs.
+- Distances via `‖q−p‖² = ‖q‖² + [q,1]·[−2p,‖p‖²]ᵀ` — one (C,4)×(4,V)
+  `dot_general` on the MXU; no (V,) row-vector broadcasts that would need a
+  sublane→lane move.
+- No occupancy mask: empty slots hold the FAR sentinel (mapping.hashgrid.FAR)
+  so their distances are ~1e18 and they lose every contest; absent buckets
+  are filled with FAR in VMEM instead of being DMA'd.
+- Outputs are (sq_dist, flat candidate index) — coordinate gathering happens
+  in XLA afterwards, keeping the kernel's stores lane-aligned.
 
 Returns `mapping.knn` shapes/semantics: (neighbors (N,k,3), sq_dists (N,k)
-ascending, valid (N,k)).
+ascending, valid (N,k)).  Replaces the reference's per-point
+`KD_TREE::Nearest_Search` (`/root/reference/src/Modules/Mapper.cpp:82-89`).
+
+STATUS (measured on TPU v5e, round 1): Mosaic-compiles and matches the XLA
+oracle bit-for-bit on neighbor coordinates (d2 within 5e-7).  But the
+grouping premise does NOT hold for voxel-downsampled automotive windows: a
+2048-query scan-like window spans ~1800 distinct coarse voxels (~1.1
+queries/group), so each 64-slot group block is ~98% padding and the kernel
+measures 6.3 ms vs 3.6 ms for the XLA gather at equal shapes (and the full
+production step is 0.21 ms — the XLA KNN fused into the step is far cheaper
+than either standalone number).  The kernel therefore stays an alternate,
+test-covered path; it wins only when queries are NOT pre-downsampled (raw
+scans: ~16-64 queries/coarse voxel), e.g. full-rotation re-deskew matching.
+Capacity note: scalar-prefetch SMEM bounds g_max ≲ 1500 (27 int32/group,
+1 MB SMEM); overflowed queries return valid=False, never garbage.
 """
 
 from __future__ import annotations
@@ -46,6 +61,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...mapping.hashgrid import (
+    FAR,
     GridParams,
     HashGridMap,
     _fine_coords,
@@ -55,6 +71,7 @@ from ...mapping.hashgrid import (
 
 GROUP_CAP = 64        # queries per group (splitting large voxel groups)
 NEIGHBORS = 27        # 3³ buckets
+VALID_D2_MAX = 1.0e16  # any true candidate is closer; sentinel slots are ~1e18
 
 
 def group_queries(m: HashGridMap, queries: jnp.ndarray, params: GridParams, g_max: int):
@@ -67,7 +84,6 @@ def group_queries(m: HashGridMap, queries: jnp.ndarray, params: GridParams, g_ma
                                         overflowed g_max: no result)
       rank_of     (N,) int32         — slot within group per original query
       order_q     (g_max, GROUP_CAP, 3) f32 — queries gathered per group slot
-      slot_valid  (g_max, GROUP_CAP) bool
     """
     N = queries.shape[0]
     fine = _fine_coords(queries, params.voxel_size)
@@ -102,90 +118,73 @@ def group_queries(m: HashGridMap, queries: jnp.ndarray, params: GridParams, g_ma
     bucket_ids = _lookup_buckets(m.keys, nb_coords, params)     # (g_max,27)
     bucket_ids = jnp.where(group_active[:, None], bucket_ids, -1)
 
-    # scatter queries into group slots
-    order_q = jnp.zeros((g_max, GROUP_CAP, 3), queries.dtype).at[
+    # scatter queries into group slots (vacant slots hold FAR so their
+    # nearest candidate is never "valid" — they're padding, results unused)
+    order_q = jnp.full((g_max, GROUP_CAP, 3), FAR, queries.dtype).at[
         gid_c, slot
     ].set(qs, mode="drop")
-    slot_valid = jnp.zeros((g_max, GROUP_CAP), bool).at[gid_c, slot].set(
-        in_range, mode="drop"
+
+    # per-group recenter offset: the kernel expands ‖q−p‖² as
+    # ‖q‖²−2q·p+‖p‖², which cancels catastrophically in f32 when the robot
+    # is O(100 m) from the world origin; shifting both q and p by the group
+    # leader's bucket center keeps coordinates O(coarse_size) and the
+    # expansion exact to ~1e-6
+    centers = (leader_coarse.astype(queries.dtype) + 0.5) * (
+        params.voxel_size * params.coarse_factor
     )
+    centers = centers[:, None, :]                               # (g_max,1,3)
 
     # per-original-query group/rank (inverse permutation of `order`)
     group_of = jnp.full((N,), -1, jnp.int32).at[order].set(
         jnp.where(in_range, gid, -1).astype(jnp.int32)
     )
     rank_of = jnp.zeros((N,), jnp.int32).at[order].set(slot.astype(jnp.int32))
-    return bucket_ids, group_of, rank_of, order_q, slot_valid
+    return bucket_ids, group_of, rank_of, order_q, centers
 
 
-def _knn_kernel(
-    # scalar-prefetch
-    bucket_ids_ref,   # (g_max, 27) SMEM
-    # inputs (blocked per group)
-    queries_ref,      # (1, GROUP_CAP, 3) VMEM
-    pts_hbm,          # (T, S, 3) HBM (manual DMA)
-    d2_hbm,           # (T, S) HBM
-    # outputs
-    nb_out,           # (1, GROUP_CAP, k, 3) VMEM
-    sq_out,           # (1, GROUP_CAP, k) VMEM
-    # scratch
-    cand_pts,         # (27, S, 3) VMEM
-    cand_occ,         # (27, S) VMEM
-    sems,             # DMA semaphores (2,)
-    *,
-    k: int,
-    slots: int,
-):
+def _knn_kernel(*refs, k: int, slots: int):
+    (bucket_ids_ref,   # (g_max, 27) SMEM (scalar prefetch)
+     queries_ref,      # (1, GROUP_CAP, 3) VMEM (blocked per group)
+     centers_ref) = refs[:3]  # (1, 1, 3) VMEM — per-group recenter offset
+    bucket_refs = refs[3:3 + NEIGHBORS]  # 27× (1, S, 3) VMEM — the group's
+                                         # neighbor buckets, DMA'd by the
+                                         # pipeline via scalar-prefetched
+                                         # index maps (no manual DMA: a
+                                         # (...,3) array cannot be memref-
+                                         # sliced under the 128-lane tiling)
+    sq_out, idx_out = refs[3 + NEIGHBORS:]  # (1, GROUP_CAP, k); idx flat nb*S+slot
+
     g = pl.program_id(0)
+    center = centers_ref[0]                                # (1,3)
+    q = queries_ref[0] - center                            # (C,3) recentered
 
-    # DMA the 27 neighbor buckets into VMEM (absent buckets → bucket 0, then
-    # masked via occupancy AND the absent flag below)
-    def fetch(i, _):
-        bid = bucket_ids_ref[g, i]                         # scalar SMEM read
-        safe = jnp.maximum(bid, 0)
-        cp = pltpu.make_async_copy(pts_hbm.at[safe], cand_pts.at[i], sems.at[0])
-        cp.start()
-        cp.wait()
-        cd = pltpu.make_async_copy(d2_hbm.at[safe], cand_occ.at[i], sems.at[1])
-        cd.start()
-        cd.wait()
+    # absent buckets were clamped to row 0 by the index map; poison their
+    # candidates with the FAR sentinel so they lose every distance contest
+    cands = []
+    for i in range(NEIGHBORS):
+        bid = bucket_ids_ref[g, i]
+        cands.append(jnp.where(bid >= 0, bucket_refs[i][0], FAR))
+    pts = jnp.concatenate(cands, axis=0) - center          # (V,3), V = 27*S
 
-        # absent bucket (bid < 0): poison its occupancy so every slot is
-        # excluded (the SMEM ref only supports scalar reads, so the absent
-        # mask is applied here, not vectorized later)
-        @pl.when(bid < 0)
-        def _():
-            cand_occ[i] = jnp.full((slots,), jnp.inf, cand_occ.dtype)
-
-        return 0
-
-    jax.lax.fori_loop(0, NEIGHBORS, fetch, 0)
-
-    q = queries_ref[0]                                     # (C,3)
-    pts = cand_pts[...].reshape(NEIGHBORS * slots, 3)      # (V,3)
-    occ_d2 = cand_occ[...].reshape(NEIGHBORS * slots)
-    occupied = jnp.isfinite(occ_d2)
-
-    # (C, V) squared distances
-    d2 = (
-        jnp.sum(q * q, axis=-1)[:, None]
-        - 2.0 * jnp.dot(q, pts.T, preferred_element_type=jnp.float32)
-        + jnp.sum(pts * pts, axis=-1)[None, :]
-    )
-    d2 = jnp.where(occupied[None, :], d2, jnp.inf)
+    # ‖q−p‖² = ‖q‖² + [q,1]·[−2p,‖p‖²]ᵀ  — one MXU matmul, no transposes
+    C = q.shape[0]
+    q_h = jnp.concatenate([q, jnp.ones((C, 1), q.dtype)], axis=1)          # (C,4)
+    p_h = jnp.concatenate(
+        [-2.0 * pts, jnp.sum(pts * pts, axis=-1, keepdims=True)], axis=1
+    )                                                                       # (V,4)
+    d2 = jax.lax.dot_general(
+        q_h, p_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + jnp.sum(q * q, axis=-1, keepdims=True)                              # (C,V)
 
     # k-pass min selection (k is tiny; avoids relying on top_k lowering)
-    C = q.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    big = jnp.float32(3.4e38)
     for j in range(k):
         best = jnp.min(d2, axis=-1)                        # (C,)
         arg = jnp.argmin(d2, axis=-1)                      # (C,)
         sq_out[0, :, j] = best
-        sel = row == arg[:, None]
-        nb_out[0, :, j, :] = jnp.sum(
-            jnp.where(sel[..., None], pts[None, :, :], 0.0), axis=1
-        )
-        d2 = jnp.where(sel, jnp.inf, d2)
+        idx_out[0, :, j] = arg.astype(jnp.int32)
+        d2 = jnp.where(col == arg[:, None], big, d2)
 
 
 @partial(jax.jit, static_argnames=("params", "k", "g_max", "interpret"))
@@ -203,44 +202,49 @@ def knn_grouped(
         g_max = max(N // 4, 64)
     S = params.slots
 
-    bucket_ids, group_of, rank_of, order_q, slot_valid = group_queries(
+    bucket_ids, group_of, rank_of, order_q, centers = group_queries(
         m, queries, params, g_max
     )
+
+    def bucket_spec(j):
+        # block row chosen by the scalar-prefetched bucket id (clamped; the
+        # kernel poisons absent buckets)
+        return pl.BlockSpec(
+            (1, S, 3),
+            lambda g, b, j=j: (jnp.maximum(b[g, j], 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g_max,),
         in_specs=[
             pl.BlockSpec((1, GROUP_CAP, 3), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # pts table stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # cell_d2 table
-        ],
+            pl.BlockSpec((1, 1, 3), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM),
+        ] + [bucket_spec(j) for j in range(NEIGHBORS)],
         out_specs=[
-            pl.BlockSpec((1, GROUP_CAP, k, 3), lambda g, b: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GROUP_CAP, k), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((NEIGHBORS, S, 3), jnp.float32),
-            pltpu.VMEM((NEIGHBORS, S), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pl.BlockSpec((1, GROUP_CAP, k), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
 
-    nb_g, sq_g = pl.pallas_call(
+    sq_g, idx_g = pl.pallas_call(
         partial(_knn_kernel, k=k, slots=S),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((g_max, GROUP_CAP, k, 3), jnp.float32),
             jax.ShapeDtypeStruct((g_max, GROUP_CAP, k), jnp.float32),
+            jax.ShapeDtypeStruct((g_max, GROUP_CAP, k), jnp.int32),
         ],
         interpret=interpret,
-    )(bucket_ids, order_q, m.pts, m.cell_d2)
+    )(bucket_ids, order_q, centers, *([m.pts] * NEIGHBORS))
 
-    # un-permute to query order
+    # gather winning coordinates + un-permute to query order (XLA post-pass)
     ok = group_of >= 0
     g_safe = jnp.where(ok, group_of, 0)
-    nb = nb_g[g_safe, rank_of]                              # (N,k,3)
     sq = sq_g[g_safe, rank_of]                              # (N,k)
-    sq = jnp.where(ok[:, None], sq, jnp.inf)
-    valid = jnp.isfinite(sq)
+    fidx = idx_g[g_safe, rank_of]                           # (N,k) flat nb*S+slot
+    valid = ok[:, None] & (sq < VALID_D2_MAX)
+    bid = bucket_ids[g_safe[:, None], fidx // S]            # (N,k)
+    nb = m.pts[jnp.where(bid >= 0, bid, 0), fidx % S]       # (N,k,3)
+    sq = jnp.where(valid, sq, jnp.inf)
     return nb, sq, valid

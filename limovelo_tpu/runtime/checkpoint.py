@@ -97,10 +97,16 @@ def load_checkpoint(path: str, pipe) -> None:
     pipe.x = mk("R", "p", "v", "bg", "ba", "g", "R_LI", "t_LI")
     pipe.anchor = mk("aR", "ap", "av", "abg", "aba", "ag", "aR_LI", "at_LI")
     pipe.P = jnp.asarray(d["P"])
+    from ..mapping.hashgrid import FAR
+
+    # legacy checkpoints may hold zeros in empty slots; re-sentinel so the
+    # Pallas KNN's maskless distance contest stays correct
+    cell_d2 = np.asarray(d["map_cell_d2"])
+    pts = np.where(np.isfinite(cell_d2)[..., None], np.asarray(d["map_pts"]), FAR)
     pipe.map = HashGridMap(
         keys=jnp.asarray(d["map_keys"]),
-        pts=jnp.asarray(d["map_pts"]),
-        cell_d2=jnp.asarray(d["map_cell_d2"]),
+        pts=jnp.asarray(pts),
+        cell_d2=jnp.asarray(cell_d2),
         num_points=jnp.asarray(d["map_num_points"]),
         num_buckets=jnp.asarray(d["map_num_buckets"]),
     )
