@@ -50,6 +50,11 @@ class UpdateDiagnostics(NamedTuple):
     eigenvalues: jnp.ndarray    # (12,) of HᵀH at final iteration
     delta_norm: jnp.ndarray     # () max|δ| at final iteration
     iterations: jnp.ndarray     # () int32 — GN iterations actually applied
+    # final-iteration matched planes, for the /limovelo/planes analog
+    # (Publishers.hpp:92-116); stay on device unless a plane sink is attached
+    plane_normals: jnp.ndarray   # (N,3) world-frame unit normals
+    plane_centroids: jnp.ndarray # (N,3) world-frame neighbor centroids
+    plane_valid: jnp.ndarray     # (N,) match chosen
 
 
 def observation_matrix(
@@ -95,7 +100,7 @@ def _match(
     fit = fit_planes(nb, sq, nb_valid, dyn.MAX_DIST_PLANE, dyn.PLANES_THRESHOLD)
     r = point_plane_distance(p_glob, fit)
     valid = fit.valid & mask
-    return r, fit.normal, valid
+    return r, fit, valid
 
 
 def iterated_update(
@@ -129,9 +134,9 @@ def iterated_update(
 
     def gn_iteration(carry, _):
         x, done, it = carry
-        r, normals, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn, knn_fn)
+        r, fit, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn, knn_fn)
         w = valid.astype(dtype)
-        H = observation_matrix(x, pts_lidar, normals, static_cfg.estimate_extrinsics)
+        H = observation_matrix(x, pts_lidar, fit.normal, static_cfg.estimate_extrinsics)
         Hw = H * w[:, None]
 
         HtH = psum(Hw.T @ H)                             # (12,12), MXU
@@ -169,9 +174,9 @@ def iterated_update(
     )
 
     # final covariance + diagnostics from the last executed iteration
-    r, normals, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn, knn_fn)
+    r, fit, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn, knn_fn)
     w = valid.astype(dtype)
-    H = observation_matrix(x, pts_lidar, normals, static_cfg.estimate_extrinsics)
+    H = observation_matrix(x, pts_lidar, fit.normal, static_cfg.estimate_extrinsics)
     Hw = H * w[:, None]
     HtH = psum(Hw.T @ H)
     S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype).at[:12, :12].set(HtH * r_inv) + P_inv
@@ -185,5 +190,8 @@ def iterated_update(
         eigenvalues=eigs[-1],
         delta_norm=max_ds[-1],
         iterations=iters,
+        plane_normals=fit.normal,
+        plane_centroids=fit.centroid,
+        plane_valid=valid,
     )
     return x, P_new, diag

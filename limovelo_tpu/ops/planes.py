@@ -23,6 +23,10 @@ class PlaneFit(NamedTuple):
     normal: jnp.ndarray     # (N, 3) unit normals
     d: jnp.ndarray          # (N,)  plane offset D
     valid: jnp.ndarray      # (N,)  all gates passed (`Match::is_chosen`)
+    centroid: jnp.ndarray   # (N, 3) neighbor centroid (viz: /limovelo/planes;
+                            #   the reference computes this with an
+                            #   uninitialized accumulator, Utils.cpp:68-73 —
+                            #   fixed here, viz-only impact)
 
 
 def fit_planes(
@@ -69,7 +73,11 @@ def fit_planes(
     # later `H * mask` would still propagate them (NaN·0 = NaN)
     normal = jnp.where(valid[..., None], normal, 0.0)
     d = jnp.where(valid, d, 0.0)
-    return PlaneFit(normal=normal, d=d, valid=valid)
+
+    cnt = jnp.sum(nb_valid, axis=-1).astype(dtype)        # (N,)
+    centroid = -At1 / jnp.maximum(cnt, 1.0)[..., None]    # sum(pts)/count
+    centroid = jnp.where(valid[..., None], centroid, 0.0)
+    return PlaneFit(normal=normal, d=d, valid=valid, centroid=centroid)
 
 
 def point_plane_distance(pts: jnp.ndarray, fit: PlaneFit) -> jnp.ndarray:

@@ -59,3 +59,57 @@ def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> Downsa
         mask=out_mask,
         count=n_vox.astype(jnp.int32),
     )
+
+
+# Range bands of `Compensator::onion_downsample` (Compensator.cpp:165-181):
+# (low, high, base decimation divisor).  Points beyond the last band are
+# always kept; the divisor is divided by config.downsample_rate.
+_ONION_BANDS = (
+    (0.0, 4.0, 256),
+    (4.0, 6.0, 64),
+    (6.0, 9.0, 32),
+    (9.0, 12.0, 16),
+    (12.0, 22.0, 8),
+    (22.0, 30.0, 4),
+    (30.0, 50.0, 2),
+)
+
+
+def onion_downsample(
+    pts: jnp.ndarray, mask: jnp.ndarray, downsample_rate: int
+) -> Downsampled:
+    """Range-banded decimation — `Compensator::onion_downsample`
+    (Compensator.cpp:165-181; disabled in the reference pipeline at
+    Compensator.cpp:105-107 in favor of the voxel grid, but part of its API
+    surface and useful for very dense close-range scans).
+
+    Near points are decimated hard (every 256/rate-th), far points kept:
+    band divisors 256/64/32/16/8/4/2 over ranges 0-4/4-6/6-9/9-12/12-22/
+    22-30/30-50 m, everything >50 m kept.  `i % (divisor/rate)` uses the
+    point's index within the (time-sorted) window, as the reference does.
+
+    Output keeps input order compacted to a dense prefix (same contract as
+    `voxel_downsample`).
+    """
+    N = pts.shape[0]
+    r = jnp.linalg.norm(pts, axis=-1)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    keep = r > _ONION_BANDS[-1][1]              # beyond last band: always keep
+    for lo, hi, div in _ONION_BANDS:
+        step = div // max(int(downsample_rate), 1)
+        in_band = (lo < r) & (r < hi)
+        band_keep = in_band if step <= 1 else in_band & (idx % step == 0)
+        keep = keep | band_keep
+    keep = keep & mask
+
+    # compact to a dense prefix, preserving order
+    order = jnp.argsort(~keep, stable=True)
+    ps = pts[order]
+    km = keep[order]
+    n = jnp.sum(keep).astype(jnp.int32)
+    return Downsampled(
+        pts=jnp.where(km[:, None], ps, 0.0),
+        mask=km,
+        count=n,
+    )

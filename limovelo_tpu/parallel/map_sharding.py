@@ -259,7 +259,7 @@ def make_map_sharded_step(mesh: Mesh, config, grid: GridParams):
             ds_count=rep,
             global_pts=pt,
             global_mask=pt,
-            diag=UpdateDiagnostics(rep, rep, rep, rep, rep),
+            diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
         )
         f = jax.shard_map(
             partial(_body, static_cfg=static_cfg, lgrid=lgrid),

@@ -1,0 +1,115 @@
+"""Multi-host bring-up: run the sharded LIO step across processes.
+
+The reference is a single OS process with no distributed layer
+(`/root/reference/src/main.cpp`, SURVEY.md §2 parallelism table).  Scaling
+past one host on TPU means `jax.distributed`: every host runs this same
+program, one process per host, each seeing its local chips; collectives ride
+ICI within a slice and DCN across slices.  This module is the thin layer that
+makes the single-host `parallel.sharding` / `parallel.map_sharding` steps
+multi-host:
+
+- `init_distributed()` — initialize the JAX distributed runtime from explicit
+  args or the standard env vars (`COORDINATOR_ADDRESS`, `NUM_PROCESSES`,
+  `PROCESS_ID`).  On TPU pods with modern runtimes, `jax.distributed.
+  initialize()` autodetects everything — args are only needed off-pod
+  (e.g. CPU multi-process tests).
+- `global_mesh()` — a 1-D mesh over ALL global devices (local + remote).
+- `window_from_local(...)` — each host feeds ONLY the points its own sensors
+  produced; `jax.make_array_from_process_local_data` assembles the globally
+  point-sharded window without any host ever holding the full batch.  (This
+  is the ingest analog of data parallelism: the LiDAR stream is partitioned
+  by time/host, and the Gauss-Newton reductions make the update exact
+  regardless of which host holds which points.)
+- `replicate(...)` — place filter state / map replicated over the mesh from
+  host-identical values (every process must pass the same bytes).
+
+Single-process meshes (tests, the driver's virtual-CPU dry run) are the
+degenerate case and exercise the same code paths.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharding import AXIS
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize `jax.distributed` (idempotent).
+
+    Resolution order per argument: explicit arg → env var
+    (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID) → runtime
+    autodetection (TPU pods).  Safe to call in single-process runs: with no
+    args and no env it is a no-op.
+    """
+    coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
+
+    if coordinator_address is None and num_processes is None and process_id is None:
+        # single process or TPU-pod autodetection; only initialize when the
+        # runtime can actually autodetect (avoid breaking CPU unit tests)
+        if jax.process_count() > 1:
+            return  # already initialized
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def global_mesh(axis: str = AXIS) -> Mesh:
+    """1-D mesh over every device of every process, in process order (so a
+    host's local shard of a point-sharded array is exactly what it fed)."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def window_from_local(
+    mesh: Mesh,
+    pts_local: np.ndarray,      # (n_local, 3) this process's padded points
+    pts_t_local: np.ndarray,    # (n_local,)
+    mask_local: np.ndarray,     # (n_local,)
+):
+    """Assemble the globally point-sharded window from per-process data.
+
+    Every process contributes its local rows; the global arrays are sharded
+    over AXIS with no cross-host transfer of point data.  All processes must
+    pass the same n_local (pad to the bucket before calling).
+    """
+    sh = NamedSharding(mesh, P(AXIS))
+    mk = lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a))
+    return mk(pts_local), mk(pts_t_local), mk(mask_local)
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree replicated over the mesh (all processes pass identical
+    values — e.g. the filter state, IMU window, and map)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def local_point_budget(mesh: Mesh, global_bucket: int) -> int:
+    """Rows of a point-sharded (global_bucket, ...) array owned per process."""
+    n_proc = max(jax.process_count(), 1)
+    assert global_bucket % mesh.size == 0, (
+        f"point bucket {global_bucket} must divide the mesh size {mesh.size}"
+    )
+    return global_bucket // n_proc

@@ -119,7 +119,7 @@ def make_sharded_step(mesh: Mesh, config, grid: GridParams):
             ds_count=rep,
             global_pts=pt,
             global_mask=pt,
-            diag=UpdateDiagnostics(rep, rep, rep, rep, rep),
+            diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
         )
         f = jax.shard_map(
             partial(_sharded_body, static_cfg=static_cfg, grid=grid),

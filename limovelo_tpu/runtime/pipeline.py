@@ -261,6 +261,21 @@ class LioPipeline:
                 # cloud when high_quality_publish
                 self.publisher.state(rec)
                 self.publisher.cloud(self._last_gpts, t2)
+                if getattr(self.publisher, "wants_planes", False):
+                    # /limovelo/planes analog — pulled only when subscribed
+                    cen, nrm, pv = jax.device_get(
+                        (out.diag.plane_centroids, out.diag.plane_normals,
+                         out.diag.plane_valid)
+                    )
+                    self.publisher.planes(cen[pv], nrm[pv], t2)
+                if getattr(self.publisher, "on_states", None):
+                    # /limovelo/states analog — the BUFFER_X pose array
+                    ts = np.array([a[0] for a in self._anchors])
+                    Rs, ps = [], []
+                    for _, ax, _, _ in self._anchors:
+                        Rh, ph = jax.device_get((ax.R, ax.p))
+                        Rs.append(Rh); ps.append(ph)
+                    self.publisher.states(ts, np.stack(ps), np.stack(Rs), t2)
 
         # Step 3: GC (main.cpp:122)
         self.accum.clear_lidar(t2 - cfg.empty_lidar_time)

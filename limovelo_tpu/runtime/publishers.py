@@ -22,6 +22,41 @@ from scipy.spatial.transform import Rotation as Rsc
 
 
 @dataclass
+class PlanesPacket:
+    """Equivalent content to /limovelo/planes PoseArray (Publishers.hpp:92-116):
+    one pose per chosen match — position at the plane's neighbor centroid,
+    orientation rotating +x onto the plane normal (the reference's quaternion
+    (0, −C, B, ‖n‖+A), normalized)."""
+
+    t: float
+    centroids: np.ndarray   # (M, 3)
+    normals: np.ndarray     # (M, 3) unit
+
+    def quaternions(self) -> np.ndarray:
+        """(M, 4) quats (x,y,z,w) rotating +x onto each normal, matching the
+        reference's construction."""
+        A, B, C = self.normals[:, 0], self.normals[:, 1], self.normals[:, 2]
+        q = np.stack([np.zeros_like(A), -C, B, 1.0 + A], axis=-1)
+        n = np.linalg.norm(q, axis=-1, keepdims=True)
+        # normal ≈ (−1,0,0) is a 180° rotation; any perpendicular axis works
+        deg = (n[:, 0] < 1e-6)
+        q[deg] = (0.0, 0.0, 1.0, 0.0)
+        n[deg] = 1.0
+        return q / n
+
+
+@dataclass
+class PoseArrayPacket:
+    """Equivalent content to /limovelo/states PoseArray (Publishers.hpp:47-69):
+    the recent corrected states (BUFFER_X analog)."""
+
+    t: float
+    times: np.ndarray       # (M,)
+    positions: np.ndarray   # (M, 3)
+    quaternions: np.ndarray # (M, 4) (x,y,z,w)
+
+
+@dataclass
 class StatePacket:
     """Equivalent content to /limovelo/state Odometry (Publishers.hpp:174-200):
     pose + body-frame velocity + yaw, stamped."""
@@ -51,6 +86,8 @@ class Publisher:
         self._traj: Optional[TextIO] = open(trajectory_path, "w") if trajectory_path else None
         self.on_state: List[Callable[[StatePacket], None]] = []
         self.on_cloud: List[Callable[[np.ndarray, float], None]] = []
+        self.on_planes: List[Callable[[PlanesPacket], None]] = []
+        self.on_states: List[Callable[[PoseArrayPacket], None]] = []
 
     # ------------------------------------------------------------------
     def state(self, record) -> StatePacket:
@@ -100,6 +137,36 @@ class Publisher:
         """Publish a (global-frame) point cloud (window or map stream)."""
         for cb in self.on_cloud:
             cb(pts, t)
+
+    @property
+    def wants_planes(self) -> bool:
+        """The pipeline checks this before paying the device→host pull of the
+        per-point plane arrays (they stay on device otherwise)."""
+        return bool(self.on_planes)
+
+    def planes(self, centroids: np.ndarray, normals: np.ndarray, t: float):
+        """Publish the chosen matches' planes (publish_planes,
+        Publishers.hpp:92-116)."""
+        pkt = PlanesPacket(t=t, centroids=centroids, normals=normals)
+        for cb in self.on_planes:
+            cb(pkt)
+
+    def states(self, times: np.ndarray, positions: np.ndarray, rotations: np.ndarray, t: float):
+        """Publish the recent corrected states as a pose array
+        (/limovelo/states; Publishers.hpp:47-69)."""
+        if not self.on_states:
+            return
+        quats = (
+            Rsc.from_matrix(rotations).as_quat()
+            if len(rotations)
+            else np.zeros((0, 4))
+        )
+        pkt = PoseArrayPacket(
+            t=t, times=np.asarray(times), positions=np.asarray(positions),
+            quaternions=quats,
+        )
+        for cb in self.on_states:
+            cb(pkt)
 
     def close(self):
         for f in (self._metrics, self._traj):

@@ -111,3 +111,52 @@ class TestVoxelDownsample:
         out = voxel_downsample(jnp.asarray(pts), jnp.ones(50, bool), 0.5)
         vox = np.unique(np.floor(pts / 0.5).astype(np.int64), axis=0)
         assert int(out.count) == len(vox)
+
+
+class TestOnionDownsample:
+    def _oracle(self, pts, mask, rate):
+        """Direct transcription of the reference's banded decimation
+        (Compensator.cpp:165-181) as a per-point loop."""
+        bands = [(0, 4, 256), (4, 6, 64), (6, 9, 32), (9, 12, 16),
+                 (12, 22, 8), (22, 30, 4), (30, 50, 2)]
+        keep = []
+        for i, p in enumerate(pts):
+            if not mask[i]:
+                continue
+            r = np.linalg.norm(p)
+            kept = r > 50
+            for lo, hi, div in bands:
+                step = div // rate
+                if lo < r < hi and (step <= 1 or i % step == 0):
+                    kept = True
+            if kept:
+                keep.append(i)
+        return np.array(keep, int)
+
+    def test_matches_reference_semantics(self, rng):
+        from limovelo_tpu.ops.voxel import onion_downsample
+
+        n = 1024
+        dirs = rng.normal(size=(n, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        pts = (dirs * rng.uniform(0.5, 60, (n, 1))).astype(np.float32)
+        mask = rng.random(n) < 0.9
+        for rate in (1, 4, 32):
+            want = self._oracle(pts, mask, rate)
+            ds = onion_downsample(jnp.asarray(pts), jnp.asarray(mask), rate)
+            got_n = int(ds.count)
+            assert got_n == len(want)
+            np.testing.assert_allclose(
+                np.asarray(ds.pts)[: got_n], pts[want], atol=0
+            )
+            # order preserved, dense prefix
+            assert np.asarray(ds.mask)[:got_n].all()
+            assert not np.asarray(ds.mask)[got_n:].any()
+
+    def test_far_points_always_kept(self, rng):
+        from limovelo_tpu.ops.voxel import onion_downsample
+
+        pts = (rng.normal(size=(64, 3)).astype(np.float32)) * 0.01
+        pts[:, 0] += 60.0  # all beyond 50 m
+        ds = onion_downsample(jnp.asarray(pts), jnp.ones(64, bool), 32)
+        assert int(ds.count) == 64
