@@ -73,10 +73,28 @@ class Accumulator:
         self._pts_t.append(np.asarray(t, np.float64)[order])
 
     def add_imu(self, t: float, a, w, q=None):
-        self._imu_t.append(float(t))
-        self._imu_a.append(np.asarray(a, np.float32))
-        self._imu_w.append(np.asarray(w, np.float32))
-        self._imu_q.append(None if q is None else np.asarray(q, np.float64))
+        t = float(t)
+        a = np.asarray(a, np.float32)
+        w = np.asarray(w, np.float32)
+        q = None if q is None else np.asarray(q, np.float64)
+        if self._imu_t and t < self._imu_t[-1]:
+            # late (reordered) packet: insert in time order so the
+            # searchsorted range queries stay correct — transport-level
+            # reordering must not corrupt the window math (SURVEY.md §5
+            # fault-injection plan; the reference would silently corrupt its
+            # descending-time binary searches here)
+            import bisect
+
+            i = bisect.bisect_right(self._imu_t, t)
+            self._imu_t.insert(i, t)
+            self._imu_a.insert(i, a)
+            self._imu_w.insert(i, w)
+            self._imu_q.insert(i, q)
+            return
+        self._imu_t.append(t)
+        self._imu_a.append(a)
+        self._imu_w.append(w)
+        self._imu_q.append(q)
 
     # ------------------------------------------------------------------
     # readiness (Accumulator::ready / enough_imus / set_initial_time)

@@ -68,6 +68,8 @@ def load_map(path: str, grid: GridParams, batch: int = 16384) -> HashGridMap:
 
 def save_checkpoint(path: str, pipe):
     """Serialize full pipeline state for exact resume."""
+    if hasattr(pipe, "flush"):
+        pipe.flush()   # resolve any in-flight step's bookkeeping first
     x: NavState = pipe.x
     np.savez_compressed(
         path,

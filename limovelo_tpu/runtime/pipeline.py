@@ -70,7 +70,7 @@ class LioPipeline:
         self.config = config
         self.grid = grid or GridParams.from_config(config)
         self.accum = Accumulator(config)
-        self.result = OdometryResult()
+        self._result = OdometryResult()
         self.publisher = publisher  # runtime.publishers.Publisher or None
 
         self._initialized = False
@@ -90,6 +90,14 @@ class LioPipeline:
         # recent corrected states (BUFFER_X analog) for offline-mode re-deskew
         self._anchors: List[tuple] = []
         self._last_processed_t2: float = -np.inf
+        self._pending = None   # in-flight step awaiting host bookkeeping
+
+    # ------------------------------------------------------------------
+    @property
+    def result(self) -> OdometryResult:
+        """The trajectory so far; resolves any in-flight step first."""
+        self._resolve_pending()
+        return self._result
 
     # ------------------------------------------------------------------
     @classmethod
@@ -160,8 +168,13 @@ class LioPipeline:
         )
 
     # ------------------------------------------------------------------
-    def step_window(self, t1: float, t2: float) -> Optional[StepRecord]:
-        """Run one localization window [t1, t2] (main.cpp Step 1-3)."""
+    def step_window(self, t1: float, t2: float) -> None:
+        """Dispatch one localization window [t1, t2] (main.cpp Step 1-3).
+
+        Bookkeeping that depends on device values is deferred to
+        `_resolve_pending()` (next spin / `flush()`) so the readback overlaps
+        host ingest."""
+        self._resolve_pending()
         cfg = self.config
         wall0 = _time.perf_counter()
         rebase = self.accum.initial_time
@@ -209,12 +222,45 @@ class LioPipeline:
         self.x = out.x
         self.P = out.P
         self.last_time_integrated = t2
-        # ONE device→host pull for everything the host needs this step
-        # (each separate scalar read is a full round trip — expensive over a
-        # remote-TPU tunnel)
-        updated, ds_count, n_matches, mean_res, iters, R_h, p_h, v_h = jax.device_get(
-            (out.updated, out.ds_count, out.diag.num_matches,
-             out.diag.mean_residual, out.diag.iterations, out.x.R, out.x.p, out.x.v)
+
+        # start the device→host copies NOW and defer the bookkeeping that
+        # needs their values to the next spin (or flush()): the tunnel to a
+        # remote TPU has a multi-ms readback round trip per buffer, and the
+        # async copies land in the background while the host ingests the next
+        # sensor batch — the single biggest real-time lever on this setup
+        fetch = (out.updated, out.ds_count, out.diag.num_matches,
+                 out.diag.mean_residual, out.diag.iterations,
+                 out.x.R, out.x.p, out.x.v)
+        for a in fetch:
+            a.copy_to_host_async()
+        if self.publisher is not None and getattr(self.publisher, "wants_planes", False):
+            for a in (out.diag.plane_centroids, out.diag.plane_normals,
+                      out.diag.plane_valid):
+                a.copy_to_host_async()
+        self._pending = (t2, rebase, out, anchor_a, anchor_w, fetch,
+                         (_time.perf_counter() - wall0) * 1e3)
+
+        # Step 3: GC (main.cpp:122) — time-based, needs no device values
+        self.accum.clear_lidar(t2 - cfg.empty_lidar_time)
+        self.accum.clear_imus(min(self.anchor_t, self.last_time_integrated) - 1.0)
+        return None
+
+    # ------------------------------------------------------------------
+    def _resolve_pending(self) -> Optional[StepRecord]:
+        """Finish the host bookkeeping of the last dispatched step: anchor
+        update, offline mapping cadence, record append, publishing.  Runs at
+        the start of the next spin (so the readback overlapped the ingest) and
+        from `flush()`.  Idempotent."""
+        pending = getattr(self, "_pending", None)
+        if pending is None:
+            return None
+        self._pending = None
+        t2, rebase, out, anchor_a, anchor_w, fetch, wall_dispatch_ms = pending
+        cfg = self.config
+        wall0 = _time.perf_counter()
+
+        updated, ds_count, n_matches, mean_res, iters, R_h, p_h, v_h = (
+            jax.device_get(fetch)
         )
         updated = bool(updated)
         if updated:
@@ -249,18 +295,20 @@ class LioPipeline:
             num_matches=int(n_matches),
             mean_residual=float(mean_res),
             iterations=int(iters),
-            wall_ms=(_time.perf_counter() - wall0) * 1e3,
+            wall_ms=wall_dispatch_ms + (_time.perf_counter() - wall0) * 1e3,
         )
         if updated:
-            self.result.records.append(rec)
+            self._result.records.append(rec)
             # keep device handles; materialize lazily (pulling the full cloud
             # every step costs a host↔device round trip it rarely needs)
             self._last_gpts_dev = (out.global_pts, out.global_mask)
             if self.publisher is not None:
                 # publish.state + window cloud (main.cpp:87-93); full-res
-                # cloud when high_quality_publish
+                # cloud when high_quality_publish.  The cloud pull is gated on
+                # attached sinks — it is a full (N,3) readback.
                 self.publisher.state(rec)
-                self.publisher.cloud(self._last_gpts, t2)
+                if getattr(self.publisher, "on_cloud", None):
+                    self.publisher.cloud(self._last_gpts, t2)
                 if getattr(self.publisher, "wants_planes", False):
                     # /limovelo/planes analog — pulled only when subscribed
                     cen, nrm, pv = jax.device_get(
@@ -276,11 +324,18 @@ class LioPipeline:
                         Rh, ph = jax.device_get((ax.R, ax.p))
                         Rs.append(Rh); ps.append(ph)
                     self.publisher.states(ts, np.stack(ps), np.stack(Rs), t2)
-
-        # Step 3: GC (main.cpp:122)
-        self.accum.clear_lidar(t2 - cfg.empty_lidar_time)
-        self.accum.clear_imus(min(self.anchor_t, self.last_time_integrated) - 1.0)
+            self._on_record(rec)
         return rec
+
+    def _on_record(self, rec: StepRecord) -> None:
+        """Hook: called once per accepted update, after record/publishing,
+        while `self.x` / `_last_gpts_dev` still belong to that step (the
+        SLAM layer keyframes here)."""
+
+    def flush(self) -> Optional[StepRecord]:
+        """Resolve any in-flight step (public: call before reading `result`
+        mid-run or checkpointing)."""
+        return self._resolve_pending()
 
     # ------------------------------------------------------------------
     @property
@@ -328,6 +383,10 @@ class LioPipeline:
     def spin_once(self) -> bool:
         """One main-loop pass; returns True if a window was processed."""
         cfg = self.config
+        # finish the previous step's bookkeeping first: its readback has been
+        # landing in the background since dispatch, and `last_time_updated` /
+        # the anchor must be current before this window is scheduled
+        self._resolve_pending()
         if not self.accum.ready():
             return False
         if not self._initialized:
@@ -356,6 +415,9 @@ class LioPipeline:
         return True
 
     def spin(self, max_steps: int = 10 ** 9) -> int:
+        # NOTE: no flush here — the freshly dispatched step's readback keeps
+        # landing while the caller ingests more data; `result` (property) and
+        # checkpointing flush on access
         steps = 0
         while steps < max_steps and self.spin_once():
             steps += 1

@@ -60,11 +60,11 @@ class SlamPipeline(LioPipeline):
         self._closed_pairs = set()
 
     # ------------------------------------------------------------------
-    def step_window(self, t1, t2):
-        rec = super().step_window(t1, t2)
-        if rec is not None and rec.updated:
+    def _on_record(self, rec):
+        # called at step resolution, while self.x / _last_gpts_dev still
+        # belong to rec's window (see LioPipeline._resolve_pending)
+        if rec.updated:
             self._maybe_keyframe(rec)
-        return rec
 
     def _maybe_keyframe(self, rec):
         # store the downsampled deskewed scan in LiDAR frame: reconstruct it
