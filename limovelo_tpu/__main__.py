@@ -6,6 +6,8 @@ roslaunch files (`/root/reference/launch/*.launch`, SURVEY.md §2.13).
     python -m limovelo_tpu sim --world corridor --duration 10 --out traj.tum
     python -m limovelo_tpu sim --save-map map.npz          # build an HD map
     python -m limovelo_tpu sim --hd-map map.npz            # prelocalization
+    python -m limovelo_tpu viz rviz --profile kitti --out kitti.rviz
+    python -m limovelo_tpu viz render --map map.npz --traj traj.tum --out run.png
 """
 
 from __future__ import annotations
@@ -38,6 +40,24 @@ def _write_outputs(pipe, args):
 
     res = pipe.result
     print(f"processed {len(res.records)} state updates")
+    if getattr(args, "render", None) and res.records:
+        from limovelo_tpu.runtime.checkpoint import compact_map_points
+        from limovelo_tpu.viz import render_run
+
+        render_run(
+            args.render, res.positions, times=res.times,
+            map_pts=compact_map_points(pipe.map),
+            title=f"limovelo_tpu — {args.cmd}",
+        )
+        print(f"figure → {args.render}")
+    if getattr(args, "ply", None):
+        from limovelo_tpu.runtime.checkpoint import compact_map_points
+        from limovelo_tpu.viz import write_ply
+        from limovelo_tpu.viz.export import height_colors
+
+        mp = compact_map_points(pipe.map)
+        write_ply(args.ply, mp, height_colors(mp) if len(mp) else None)
+        print(f"map cloud → {args.ply}")
     if args.out:
         if args.out.endswith(".kitti") or args.out.endswith(".txt"):
             write_kitti(args.out, res.rotations, res.positions)
@@ -79,6 +99,50 @@ def _make_pipe(cfg, args):
     return LioPipeline(cfg)
 
 
+def _read_tum(path):
+    import numpy as np
+
+    data = np.loadtxt(path)
+    data = np.atleast_2d(data)
+    return data[:, 0], data[:, 1:4]
+
+
+def _viz_main(args):
+    if args.viz_cmd == "rviz":
+        from limovelo_tpu.viz import make_profile
+
+        with open(args.out, "w") as f:
+            f.write(make_profile(args.profile))
+        print(f"rviz profile ({args.profile}) → {args.out}")
+        return
+    # render
+    import numpy as np
+
+    times = positions = gt = map_pts = None
+    if args.traj:
+        times, positions = _read_tum(args.traj)
+    if args.gt:
+        _, gt = _read_tum(args.gt)
+    if args.map:
+        map_pts = np.load(args.map)["points"]
+    if positions is None and map_pts is None:
+        raise SystemExit("viz render: need --traj and/or --map")
+    if positions is None:
+        positions = np.zeros((1, 3))
+        times = None
+    from limovelo_tpu.viz import render_run
+
+    render_run(args.out, positions, times=times, map_pts=map_pts,
+               gt_positions=gt, title="limovelo_tpu")
+    print(f"figure → {args.out}")
+    if args.ply and map_pts is not None:
+        from limovelo_tpu.viz import write_ply
+        from limovelo_tpu.viz.export import height_colors
+
+        write_ply(args.ply, map_pts, height_colors(map_pts))
+        print(f"map cloud → {args.ply}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="limovelo_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -92,6 +156,8 @@ def main(argv=None):
         sp.add_argument("--resume", default=None)
         sp.add_argument("--real-time", type=lambda s: s == "true", default=None)
         sp.add_argument("--mapping-online", type=lambda s: s == "true", default=None)
+        sp.add_argument("--render", default=None, help="write a PNG/SVG figure of the run")
+        sp.add_argument("--ply", default=None, help="write the map cloud as PLY")
 
     sp = sub.add_parser("run", help="replay a ROS1 bag")
     common(sp)
@@ -109,7 +175,21 @@ def main(argv=None):
     sp.add_argument("--duration", type=float, default=10.0)
     sp.add_argument("--speed", type=float, default=5.0)
 
+    sp = sub.add_parser("viz", help="visualization tools (no device needed)")
+    viz_sub = sp.add_subparsers(dest="viz_cmd", required=True)
+    vp = viz_sub.add_parser("rviz", help="generate an rviz profile")
+    vp.add_argument("--profile", default="default")
+    vp.add_argument("--out", required=True)
+    vp = viz_sub.add_parser("render", help="render saved artifacts to a figure")
+    vp.add_argument("--map", default=None, help="HD map .npz (from --save-map)")
+    vp.add_argument("--traj", default=None, help="TUM trajectory file")
+    vp.add_argument("--gt", default=None, help="TUM ground-truth file")
+    vp.add_argument("--out", required=True, help="output PNG/SVG")
+    vp.add_argument("--ply", default=None, help="also export map cloud as PLY")
+
     args = p.parse_args(argv)
+    if args.cmd == "viz":
+        return _viz_main(args)
     cfg = _load_config(args)
     pipe = _make_pipe(cfg, args)
     if args.resume:
