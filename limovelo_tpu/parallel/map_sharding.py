@@ -52,7 +52,7 @@ from ..filter.update import iterated_update
 from ..mapping import GridParams, HashGridMap, insert, knn, make_map
 from ..mapping.hashgrid import _fine_coords
 from ..ops.voxel import voxel_downsample
-from ..step import StepInputs, StepOutputs
+from ..step import StepInputs, StepOutputs, make_telemetry
 
 AXIS = "points"
 
@@ -216,6 +216,7 @@ def _body(inp: StepInputs, m_local: HashGridMap, static_cfg, lgrid: GridParams):
     return StepOutputs(
         x=x_new, P=P_new, map=m_new, updated=enough, ds_count=total_ds,
         global_pts=g_full, global_mask=inp.pts_mask, diag=diag,
+        telemetry=make_telemetry(enough, total_ds, diag, x_new),
     )
 
 
@@ -260,6 +261,7 @@ def make_map_sharded_step(mesh: Mesh, config, grid: GridParams):
             global_pts=pt,
             global_mask=pt,
             diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
+            telemetry=rep,
         )
         f = jax.shard_map(
             partial(_body, static_cfg=static_cfg, lgrid=lgrid),

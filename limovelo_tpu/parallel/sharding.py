@@ -31,7 +31,7 @@ from ..filter.process import predict_window
 from ..filter.update import iterated_update
 from ..mapping import GridParams, insert
 from ..ops.voxel import voxel_downsample
-from ..step import StepInputs, StepOutputs
+from ..step import StepInputs, StepOutputs, make_telemetry
 
 AXIS = "points"
 
@@ -82,6 +82,7 @@ def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
         global_pts=g_full,
         global_mask=inp.pts_mask,
         diag=diag,
+        telemetry=make_telemetry(enough, total_ds, diag, x_new),
     )
 
 
@@ -120,6 +121,7 @@ def make_sharded_step(mesh: Mesh, config, grid: GridParams):
             global_pts=pt,
             global_mask=pt,
             diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
+            telemetry=rep,
         )
         f = jax.shard_map(
             partial(_sharded_body, static_cfg=static_cfg, grid=grid),

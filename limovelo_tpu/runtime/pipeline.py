@@ -25,7 +25,7 @@ from ..filter.process import ImuWindow, process_noise_Q
 from ..geometry import state as st
 from ..mapping import GridParams, insert, make_map
 from ..ops.voxel import voxel_downsample
-from ..step import StepInputs, lio_step, mapping_step
+from ..step import StepInputs, lio_step, lio_step_packed, mapping_step, pack_host_inputs
 from .accumulator import Accumulator
 
 
@@ -140,8 +140,8 @@ class LioPipeline:
         self._initialized = True
 
     # ------------------------------------------------------------------
-    def _pad_imus(self, ts, accs, gyrs, t2, rebase):
-        """Build a padded ImuWindow covering (·, t2] with the reference's
+    def _pad_imus_np(self, ts, accs, gyrs, t2, rebase):
+        """Build padded numpy IMU arrays covering (·, t2] with the reference's
         final extrapolation entry (Localizator.cpp:69-74)."""
         cfg = self.config
         m = len(ts)
@@ -163,6 +163,10 @@ class LioPipeline:
             a_arr[:M] = entries_a
             w_arr[:M] = entries_w
             mask[:M] = True
+        return t_arr, a_arr, w_arr, mask
+
+    def _pad_imus(self, ts, accs, gyrs, t2, rebase):
+        t_arr, a_arr, w_arr, mask = self._pad_imus_np(ts, accs, gyrs, t2, rebase)
         return ImuWindow(
             jnp.asarray(t_arr), jnp.asarray(a_arr), jnp.asarray(w_arr), jnp.asarray(mask)
         )
@@ -192,47 +196,40 @@ class LioPipeline:
         t_pad[:n] = (pts_t - rebase).astype(np.float32)
         mask[:n] = True
 
-        imus_f = self._pad_imus(*self.accum.get_imus(self.last_time_integrated, t2), t2, rebase)
-        imus_p = self._pad_imus(*self.accum.get_imus(self.anchor_t, t2), t2, rebase)
+        imu_f = self._pad_imus_np(*self.accum.get_imus(self.last_time_integrated, t2), t2, rebase)
+        imu_p = self._pad_imus_np(*self.accum.get_imus(self.anchor_t, t2), t2, rebase)
 
         nxt = self.accum.get_next_imu(self.anchor_t)
         anchor_a = nxt.a if nxt is not None else np.zeros(3, np.float32)
         anchor_w = nxt.w if nxt is not None else np.zeros(3, np.float32)
 
-        inp = StepInputs(
-            anchor=self.anchor,
-            anchor_t=jnp.float32(self.anchor_t - rebase),
-            anchor_a=jnp.asarray(anchor_a),
-            anchor_w=jnp.asarray(anchor_w),
-            x=self.x,
-            P=self.P,
-            t_integrated=jnp.float32(self.last_time_integrated - rebase),
-            imus_filter=imus_f,
-            imus_path=imus_p,
-            pts=jnp.asarray(pts_pad),
-            pts_t=jnp.asarray(t_pad),
-            pts_mask=jnp.asarray(mask),
-            t2=jnp.float32(t2 - rebase),
-            Q=self.Q,
-            dyn=self.dyn,
+        # ONE host→device transfer for all per-step inputs (a tunneled TPU
+        # pays a full RPC round trip per buffer — see step.lio_step_packed)
+        packed = pack_host_inputs(
+            self.anchor_t - rebase, self.last_time_integrated - rebase,
+            t2 - rebase, anchor_a, anchor_w, imu_f, imu_p,
+            pts_pad, t_pad, mask,
         )
-        out = lio_step(inp, self.map, self._static, self.grid)
+        out = lio_step_packed(
+            jnp.asarray(packed), self.x, self.P, self.anchor, self.Q,
+            self.map, self.dyn,
+            n_pts=bucket, n_imu_f=len(imu_f[0]), n_imu_p=len(imu_p[0]),
+            static_cfg=self._static, grid=self.grid,
+        )
 
         self.map = out.map
         self.x = out.x
         self.P = out.P
         self.last_time_integrated = t2
 
-        # start the device→host copies NOW and defer the bookkeeping that
-        # needs their values to the next spin (or flush()): the tunnel to a
+        # start the device→host copy NOW and defer the bookkeeping that
+        # needs its values to the next spin (or flush()): the tunnel to a
         # remote TPU has a multi-ms readback round trip per buffer, and the
-        # async copies land in the background while the host ingests the next
-        # sensor batch — the single biggest real-time lever on this setup
-        fetch = (out.updated, out.ds_count, out.diag.num_matches,
-                 out.diag.mean_residual, out.diag.iterations,
-                 out.x.R, out.x.p, out.x.v)
-        for a in fetch:
-            a.copy_to_host_async()
+        # async copy lands in the background while the host ingests the next
+        # sensor batch — the single biggest real-time lever on this setup.
+        # Everything the host needs is packed into the ONE telemetry vector.
+        fetch = out.telemetry
+        fetch.copy_to_host_async()
         if self.publisher is not None and getattr(self.publisher, "wants_planes", False):
             for a in (out.diag.plane_centroids, out.diag.plane_normals,
                       out.diag.plane_valid):
@@ -259,10 +256,12 @@ class LioPipeline:
         cfg = self.config
         wall0 = _time.perf_counter()
 
-        updated, ds_count, n_matches, mean_res, iters, R_h, p_h, v_h = (
-            jax.device_get(fetch)
-        )
-        updated = bool(updated)
+        tele = np.asarray(jax.device_get(fetch))
+        updated = bool(tele[0] > 0.5)
+        ds_count, n_matches = tele[1], tele[2]
+        mean_res, iters = tele[3], tele[4]
+        R_h = tele[5:14].reshape(3, 3)
+        p_h, v_h = tele[14:17], tele[17:20]
         if updated:
             # corrected state becomes the new deskew anchor (BUFFER_X push)
             self.anchor = out.x

@@ -66,6 +66,14 @@ class StepOutputs(NamedTuple):
     global_pts: jnp.ndarray     # (N,3) deskewed window in world frame
     global_mask: jnp.ndarray    # (N,)
     diag: UpdateDiagnostics
+    telemetry: jnp.ndarray      # (20,) f32 — everything the host needs per
+                                # step, in ONE buffer: [updated, ds_count,
+                                # num_matches, mean_residual, iterations,
+                                # R(9,row-major), p(3), v(3)].  The runtime
+                                # reads back only this vector: on a tunneled
+                                # TPU every device→host buffer costs a full
+                                # RPC round trip (~30 ms measured), so the
+                                # 8-buffer readback was 8 RPCs of latency
 
 
 @partial(jax.jit, static_argnames=("static_cfg", "grid"), donate_argnums=(0,))
@@ -100,8 +108,24 @@ def mapping_step(
     return m_new, g_full, pts_mask
 
 
-@partial(jax.jit, static_argnames=("static_cfg", "grid"), donate_argnums=(1,))
-def lio_step(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams) -> StepOutputs:
+def make_telemetry(enough, ds_count, diag: UpdateDiagnostics, x_new: NavState) -> jnp.ndarray:
+    """(20,) f32: [updated, ds_count, num_matches, mean_residual, iterations,
+    R(9, row-major), p(3), v(3)] — the single per-step readback buffer."""
+    return jnp.concatenate([
+        jnp.stack([
+            enough.astype(jnp.float32),
+            ds_count.astype(jnp.float32),
+            diag.num_matches.astype(jnp.float32),
+            diag.mean_residual.astype(jnp.float32),
+            diag.iterations.astype(jnp.float32),
+        ]),
+        x_new.R.reshape(-1).astype(jnp.float32),
+        x_new.p.astype(jnp.float32),
+        x_new.v.astype(jnp.float32),
+    ])
+
+
+def _lio_step_core(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams) -> StepOutputs:
     # ---- Step 1a: IMU propagation (Localizator::propagate_to) ----
     x_pred, P_pred = predict_window(inp.x, inp.P, inp.imus_filter, inp.t_integrated, inp.Q)
 
@@ -131,6 +155,8 @@ def lio_step(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams) -> S
     # full-resolution window in world frame, for publishing / offline mapping
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
 
+    telemetry = make_telemetry(enough, ds.count, diag, x_new)
+
     return StepOutputs(
         x=x_new,
         P=P_new,
@@ -140,4 +166,104 @@ def lio_step(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams) -> S
         global_pts=g_full,
         global_mask=inp.pts_mask,
         diag=diag,
+        telemetry=telemetry,
     )
+
+
+lio_step = partial(jax.jit, static_argnames=("static_cfg", "grid"), donate_argnums=(1,))(
+    _lio_step_core
+)
+
+
+# ---------------------------------------------------------------------------
+# packed host→device entry
+# ---------------------------------------------------------------------------
+#
+# On a tunneled TPU every `jnp.asarray`/`device_put` is its own RPC with
+# ~30 ms of round-trip latency; `step_window` naively issues ~15 of them
+# (points, stamps, masks, two IMU windows split in four arrays each, controls,
+# scalars) — ~450 ms of pure latency per 0.27 ms device step.  The packed
+# entry moves ALL per-step host inputs in ONE flat f32 buffer and unpacks on
+# device (free: XLA fuses the slices into the consumers).
+
+_HDR = 9  # anchor_t, t_integrated, t2, anchor_a(3), anchor_w(3)
+
+
+def pack_host_inputs(
+    anchor_t: float, t_integrated: float, t2: float,
+    anchor_a, anchor_w,
+    imu_f,      # (t (If,), a (If,3), w (If,3), mask (If,)) numpy
+    imu_p,      # same for the path window (Ip,)
+    pts, pts_t, mask,  # (B,3), (B,), (B,) numpy
+):
+    """Concatenate every per-step host input into one f32 vector (host side)."""
+    import numpy as np
+
+    parts = [
+        np.array([anchor_t, t_integrated, t2], np.float32),
+        np.asarray(anchor_a, np.float32).ravel(),
+        np.asarray(anchor_w, np.float32).ravel(),
+    ]
+    for (t, a, w, msk) in (imu_f, imu_p):
+        parts += [t.ravel(), a.ravel(), w.ravel(), msk.astype(np.float32)]
+    parts += [
+        np.asarray(pts, np.float32).ravel(),
+        np.asarray(pts_t, np.float32).ravel(),
+        np.asarray(mask, np.float32),
+    ]
+    return np.concatenate(parts)
+
+
+def _unpack_imus(buf, off, n):
+    t = jax.lax.dynamic_slice_in_dim(buf, off, n)
+    a = jax.lax.dynamic_slice_in_dim(buf, off + n, 3 * n).reshape(n, 3)
+    w = jax.lax.dynamic_slice_in_dim(buf, off + 4 * n, 3 * n).reshape(n, 3)
+    msk = jax.lax.dynamic_slice_in_dim(buf, off + 7 * n, n) > 0.5
+    return ImuWindow(t=t, a=a, w=w, mask=msk), off + 8 * n
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_pts", "n_imu_f", "n_imu_p", "static_cfg", "grid"),
+    donate_argnums=(5,),
+)
+def lio_step_packed(
+    packed: jnp.ndarray,        # (9 + 8*(If+Ip) + 5*B,) f32
+    x: NavState,
+    P: jnp.ndarray,
+    anchor: NavState,
+    Q: jnp.ndarray,
+    m: HashGridMap,
+    dyn,
+    n_pts: int,
+    n_imu_f: int,
+    n_imu_p: int,
+    static_cfg,
+    grid: GridParams,
+) -> StepOutputs:
+    """`lio_step` fed from one packed host buffer (see `pack_host_inputs`)."""
+    B = n_pts
+    imus_f, off = _unpack_imus(packed, _HDR, n_imu_f)
+    imus_p, off = _unpack_imus(packed, off, n_imu_p)
+    pts = jax.lax.dynamic_slice_in_dim(packed, off, 3 * B).reshape(B, 3)
+    pts_t = jax.lax.dynamic_slice_in_dim(packed, off + 3 * B, B)
+    pts_mask = jax.lax.dynamic_slice_in_dim(packed, off + 4 * B, B) > 0.5
+
+    inp = StepInputs(
+        anchor=anchor,
+        anchor_t=packed[0],
+        anchor_a=packed[3:6],
+        anchor_w=packed[6:9],
+        x=x,
+        P=P,
+        t_integrated=packed[1],
+        imus_filter=imus_f,
+        imus_path=imus_p,
+        pts=pts,
+        pts_t=pts_t,
+        pts_mask=pts_mask,
+        t2=packed[2],
+        Q=Q,
+        dyn=dyn,
+    )
+    return _lio_step_core(inp, m, static_cfg, grid)
