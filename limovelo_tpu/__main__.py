@@ -127,9 +127,6 @@ def _viz_main(args):
         map_pts = np.load(args.map)["points"]
     if positions is None and map_pts is None:
         raise SystemExit("viz render: need --traj and/or --map")
-    if positions is None:
-        positions = np.zeros((1, 3))
-        times = None
     from limovelo_tpu.viz import render_run
 
     render_run(args.out, positions, times=times, map_pts=map_pts,
@@ -139,7 +136,7 @@ def _viz_main(args):
         from limovelo_tpu.viz import write_ply
         from limovelo_tpu.viz.export import height_colors
 
-        write_ply(args.ply, map_pts, height_colors(map_pts))
+        write_ply(args.ply, map_pts, height_colors(map_pts) if len(map_pts) else None)
         print(f"map cloud → {args.ply}")
 
 

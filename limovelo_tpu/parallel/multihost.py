@@ -41,17 +41,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .sharding import AXIS
 
 
+# Environment markers whose presence means a multi-process launcher set this
+# process up and `jax.distributed.initialize()` can autodetect everything:
+# Cloud TPU pod runtime, GKE/JobSet, SLURM, Open MPI (the cluster backends
+# jax's ClusterEnv supports as of jax 0.5+).
+_POD_ENV_MARKERS = (
+    "TPU_WORKER_HOSTNAMES",            # Cloud TPU pod VM metadata
+    "TPU_WORKER_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",   # multislice runtime
+    "JAX_COORDINATOR_ADDRESS",         # explicit jax cluster env
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+)
+
+
+def running_under_cluster_launcher() -> bool:
+    """True when a recognized multi-process launcher environment is present
+    (so `jax.distributed.initialize()` with no args can autodetect)."""
+    return any(m in os.environ for m in _POD_ENV_MARKERS)
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    local_device_ids=None,
 ) -> None:
     """Initialize `jax.distributed` (idempotent).
 
     Resolution order per argument: explicit arg → env var
     (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID) → runtime
-    autodetection (TPU pods).  Safe to call in single-process runs: with no
-    args and no env it is a no-op.
+    autodetection (TPU pods, SLURM, MPI — `running_under_cluster_launcher`).
+    Safe to call in plain single-process runs: with no args, no env vars, and
+    no launcher markers it is a no-op.
     """
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if num_processes is None and "NUM_PROCESSES" in os.environ:
@@ -60,16 +82,24 @@ def init_distributed(
         process_id = int(os.environ["PROCESS_ID"])
 
     if coordinator_address is None and num_processes is None and process_id is None:
-        # single process or TPU-pod autodetection; only initialize when the
-        # runtime can actually autodetect (avoid breaking CPU unit tests)
-        if jax.process_count() > 1:
-            return  # already initialized
+        # No explicit rendezvous info.  On a pod/SLURM/MPI launch the runtime
+        # autodetects everything from the environment — initialize with no
+        # args.  Outside a launcher (CPU unit tests, single-host runs) there
+        # is nothing to initialize and calling would raise/hang: no-op.
+        if not running_under_cluster_launcher():
+            return
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:  # already initialized
+            if "already" not in str(e).lower():
+                raise
         return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            local_device_ids=local_device_ids,
         )
     except RuntimeError as e:  # already initialized
         if "already" not in str(e).lower():
@@ -101,9 +131,17 @@ def window_from_local(
 
 def replicate(mesh: Mesh, tree):
     """Place a pytree replicated over the mesh (all processes pass identical
-    values — e.g. the filter state, IMU window, and map)."""
+    values — e.g. the filter state, IMU window, and map).
+
+    Multi-process: `device_put` cannot target non-addressable devices, so the
+    global replicated array is assembled from each process's (identical) full
+    copy via `make_array_from_process_local_data`."""
     sh = NamedSharding(mesh, P())
-    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+    if jax.process_count() > 1:
+        mk = lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a))
+    else:
+        mk = lambda a: jax.device_put(a, sh)
+    return jax.tree.map(mk, tree)
 
 
 def local_point_budget(mesh: Mesh, global_bucket: int) -> int:

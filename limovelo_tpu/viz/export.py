@@ -41,7 +41,10 @@ def read_ply_header(path: str):
     count, has_color = 0, False
     with open(path, "rb") as f:
         while True:
-            line = f.readline().decode().strip()
+            raw = f.readline()
+            if not raw:  # EOF before end_header: truncated/malformed file
+                raise ValueError(f"PLY header not terminated: {path}")
+            line = raw.decode().strip()
             if line.startswith("element vertex"):
                 count = int(line.split()[-1])
             if line == "property uchar red":

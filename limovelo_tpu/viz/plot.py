@@ -31,16 +31,23 @@ def render_run(
 ):
     """Render a run to PNG/SVG.
 
-    positions: (N,3) estimated trajectory. map_pts: (M,3) map cloud
-    (subsampled for plotting). gt_positions: (K,3) optional ground truth.
+    positions: (N,3) estimated trajectory, or None for a map-only figure.
+    map_pts: (M,3) map cloud (subsampled for plotting). gt_positions: (K,3)
+    optional ground truth.
     """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    positions = np.asarray(positions)
-    has_profile = times is not None and len(np.asarray(times)) == len(positions)
+    positions = None if positions is None else np.asarray(positions)
+    if positions is not None and len(positions) == 0:
+        positions = None
+    has_profile = (
+        positions is not None
+        and times is not None
+        and len(np.asarray(times)) == len(positions)
+    )
     if has_profile:
         fig, (ax, axz) = plt.subplots(
             2, 1, figsize=(9, 10), dpi=dpi,
@@ -61,10 +68,11 @@ def render_run(
         gt = np.asarray(gt_positions)
         ax.plot(gt[:, 0], gt[:, 1], color=GT_COLOR, lw=2.0, ls=(0, (4, 2)),
                 label="ground truth")
-    ax.plot(positions[:, 0], positions[:, 1], color=EST_COLOR, lw=2.0,
-            label="estimate")
-    ax.plot(positions[0, 0], positions[0, 1], "o", color=EST_COLOR, ms=8,
-            mec="white", mew=1.5)
+    if positions is not None:
+        ax.plot(positions[:, 0], positions[:, 1], color=EST_COLOR, lw=2.0,
+                label="estimate")
+        ax.plot(positions[0, 0], positions[0, 1], "o", color=EST_COLOR, ms=8,
+                mec="white", mew=1.5)
 
     ax.set_aspect("equal", adjustable="datalim")
     ax.set_xlabel("x [m]", color=INK)
