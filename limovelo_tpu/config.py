@@ -38,6 +38,7 @@ class StaticConfig(NamedTuple):
     estimate_extrinsics: bool
     mapping_online: bool
     knn_rings: int
+    knn_max_buckets: object   # int | None — tiered-KNN slot-gather budget
 
 
 class DynParams(NamedTuple):
@@ -162,7 +163,16 @@ class Config:
     map_coarse_factor: int = 4       # coarse bucket edge, in fine voxels
     map_table_size: int = 1 << 17    # hash buckets (coarse voxels)
     map_probe_length: int = 8        # max linear-probe distance
-    knn_rings: int = 1               # neighbor rings gathered for KNN (1 => 27)
+    # KNN search envelope.  None (default) derives the rings from the plane
+    # gate: ceil(MAX_DIST_PLANE / coarse_size), so the matcher covers the full
+    # MAX_DIST_PLANE radius the reference's exact whole-map Nearest_Search
+    # reaches (Mapper.cpp:86 + Plane.cpp:40-43).  Set 1 explicitly for the
+    # cheap 27-bucket neighborhood (exact to 0.8 m) on dense maps.
+    knn_rings: object = None         # int | None
+    # With rings ≥ 2 the slot gather is tiered: only the `knn_max_buckets`
+    # nearest occupied buckets (AABB lower bound) are fetched per query.
+    # Recall vs an exact oracle is regression-tested (test_knn_fidelity.py).
+    knn_max_buckets: object = 32     # int | None
     point_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192, 16384)
     ds_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
     imu_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
@@ -191,13 +201,26 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    @property
+    def effective_knn_rings(self) -> int:
+        if self.knn_rings is not None:
+            return int(self.knn_rings)
+        return max(1, math.ceil(self.MAX_DIST_PLANE / self.map_coarse_size - 1e-6))
+
     def static(self) -> StaticConfig:
+        rings = self.effective_knn_rings
         return StaticConfig(
             MAX_NUM_ITERS=self.MAX_NUM_ITERS,
             NUM_MATCH_POINTS=self.NUM_MATCH_POINTS,
             estimate_extrinsics=self.estimate_extrinsics,
             mapping_online=self.mapping_online,
-            knn_rings=self.knn_rings,
+            knn_rings=rings,
+            # tiering only matters beyond the 27-bucket neighborhood
+            knn_max_buckets=(
+                int(self.knn_max_buckets)
+                if (self.knn_max_buckets is not None and rings > 1)
+                else None
+            ),
         )
 
     def dynamic(self) -> DynParams:

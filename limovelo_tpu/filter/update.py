@@ -11,10 +11,15 @@ jitted function (SURVEY.md §7 design stance).
 Update math (information form — algebraically the FAST-LIO2 iterated update):
 
     dx_j = x_j ⊟ x0                       (error w.r.t. the predicted state)
-    minimize ½‖r_j + Hδ‖²_{R⁻¹} + ½‖dx_j + δ‖²_{P⁻¹}
-    ⇒ (HᵀR⁻¹H + P⁻¹) δ = −(HᵀR⁻¹ r_j + P⁻¹ dx_j)
+    L_j  = ∂((x_j ⊞ δ) ⊟ x0)/∂δ |_{δ=0}   (manifold-chart transport — IKFoM's
+                                           per-block A-matrix projection)
+    minimize ½‖r_j + Hδ‖²_{R⁻¹} + ½‖dx_j + L_jδ‖²_{P⁻¹}
+    ⇒ (HᵀR⁻¹H + L_jᵀP⁻¹L_j) δ = −(HᵀR⁻¹ r_j + L_jᵀP⁻¹ dx_j)
     x_{j+1} = x_j ⊞ δ ;  converged when max|δ| < LIMITS
-    P⁺ = (HᵀR⁻¹H + P⁻¹)⁻¹  at the final iterate
+    P⁺ = (HᵀR⁻¹H + LᵀP⁻¹L)⁻¹  at the final iterate — the posterior covariance
+    in the chart at x⁺ (which the next predict uses as reference), matching
+    IKFoM's final L·(I−KH)P̃·Lᵀ up to algebra.  Verified against an f64 MAP
+    oracle in tests/test_covariance_oracle.py.
 
 H rows (N×12, remaining 11 columns zero — Localizator.cpp:29-57):
     cols 0-2   ∂r/∂pos      = nᵀ
@@ -78,6 +83,21 @@ def observation_matrix(
     return H
 
 
+def chart_transport(x: NavState, x0: NavState, dtype=jnp.float32) -> jnp.ndarray:
+    """L = ∂((x ⊞ δ) ⊟ x0)/∂δ at δ=0 — the (23,23) Jacobian transporting the
+    prior chart (centered at the predicted x0, where P lives) to the chart at
+    the current iterate x.
+
+    IKFoM computes this block-by-block with its `A_matrix` projections inside
+    `update_iterated_dyn_share_modified`; the compound manifold makes L
+    block-diagonal (identity on ℝⁿ blocks, inverse right Jacobians on SO(3)
+    blocks, a 2×2 on the S² gravity block).  Forward-mode autodiff through
+    ⊞/⊟ yields exactly those blocks with no hand-derived formulas — 23 tiny
+    jvps, negligible next to the KNN gather."""
+    f = lambda d: boxminus(boxplus(x, d), x0)
+    return jax.jacfwd(f)(jnp.zeros(ERROR_DIM, dtype))
+
+
 def _match(
     x: NavState,
     m: HashGridMap,
@@ -95,7 +115,9 @@ def _match(
         + x.p
     )
     nb, sq, nb_valid = (knn_fn or knn)(
-        m, p_glob, grid, k=static_cfg.NUM_MATCH_POINTS, rings=static_cfg.knn_rings
+        m, p_glob, grid, k=static_cfg.NUM_MATCH_POINTS,
+        rings=static_cfg.knn_rings,
+        max_buckets=getattr(static_cfg, "knn_max_buckets", None),
     )
     fit = fit_planes(nb, sq, nb_valid, dyn.MAX_DIST_PLANE, dyn.PLANES_THRESHOLD)
     r = point_plane_distance(p_glob, fit)
@@ -146,12 +168,16 @@ def iterated_update(
         eigval, eigvec = jnp.linalg.eigh(HtH)
         strong = (eigval >= dyn.degeneracy_threshold).astype(dtype)
 
+        # prior transported into the chart at the current iterate (IKFoM's
+        # A-matrix projection); L = I at the first iteration (x == x0)
+        L = chart_transport(x, x0, dtype)
+        LtPinv = L.T @ P_inv
         S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype)
         S = S.at[:12, :12].set(HtH * r_inv)
-        S = S + P_inv
+        S = S + LtPinv @ L
         g_vec = jnp.zeros((ERROR_DIM,), dtype).at[:12].set(Htr * r_inv)
         dx_prior = boxminus(x, x0)
-        rhs = -(g_vec + P_inv @ dx_prior)
+        rhs = -(g_vec + LtPinv @ dx_prior)
         delta = jnp.linalg.solve(S, rhs)
 
         # remap the observable block: drop components along weak directions
@@ -179,7 +205,9 @@ def iterated_update(
     H = observation_matrix(x, pts_lidar, fit.normal, static_cfg.estimate_extrinsics)
     Hw = H * w[:, None]
     HtH = psum(Hw.T @ H)
-    S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype).at[:12, :12].set(HtH * r_inv) + P_inv
+    L = chart_transport(x, x0, dtype)
+    LtPinvL = L.T @ P_inv @ L
+    S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype).at[:12, :12].set(HtH * r_inv) + LtPinvL
     P_new = jnp.linalg.inv(S)
     P_new = 0.5 * (P_new + P_new.T)
 

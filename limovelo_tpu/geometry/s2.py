@@ -56,7 +56,10 @@ def boxminus(g1, g2):
     c = jnp.clip(jnp.sum(n1 * n2, axis=-1), -1.0, 1.0)
     theta = jnp.arctan2(s, c)
     small = s < 1e-12
-    w = axis * jnp.where(small, 0.0, theta / jnp.where(small, 1.0, s))[..., None]
+    # θ/s → 1 as the directions coincide (θ ≈ s); guarding with 0 would kink
+    # the value AND zero the jvp at coincident points (the chart-transport
+    # Jacobian in filter/update.py differentiates through here at δ=0)
+    w = axis * jnp.where(small, 1.0, theta / jnp.where(small, 1.0, s))[..., None]
     # express in the tangent basis at g2
     return (jnp.swapaxes(basis(g2), -1, -2) @ w[..., None])[..., 0]
 

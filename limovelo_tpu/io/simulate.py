@@ -217,6 +217,8 @@ def simulate(
     gyro_bias: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     max_range: float = 80.0,
     seed: int = 0,
+    azimuths: np.ndarray = None,
+    extrinsics: Tuple[np.ndarray, np.ndarray] = None,
 ) -> SimData:
     """Render scans + IMU along the trajectory.
 
@@ -224,11 +226,25 @@ def simulate(
     `config.full_rotation_time`, each column stamped at its own absolute time
     (velodyne-style per-point stamps, SURVEY.md §2.6).  The sensor frame
     equals the body frame composed with the configured LiDAR→IMU extrinsics.
+
+    `azimuths`: optional per-column azimuth schedule (column c fires at
+    t0 + c/C·rot_time toward azimuth[c]).  Default is a counter-clockwise
+    0→2π sweep; the KITTI fixture writer passes the HDL-64 clockwise-from-
+    the-rear sweep so the reader's azimuth-time reconstruction
+    (io/kitti.py) is exercised faithfully.
+
+    `extrinsics`: optional (R_LI, t_LI) override — used to render with TRUE
+    extrinsics while the pipeline config carries a perturbed guess
+    (online-extrinsics estimation tests, config/xaloc.yaml semantics).
     """
     rng = np.random.default_rng(seed)
     g_world = np.array(config.gravity_vec, np.float64)
-    R_LI = np.array(config.I_Rotation_L, np.float64).reshape(3, 3)
-    t_LI = np.array(config.I_Translation_L, np.float64)
+    if extrinsics is not None:
+        R_LI = np.asarray(extrinsics[0], np.float64).reshape(3, 3)
+        t_LI = np.asarray(extrinsics[1], np.float64)
+    else:
+        R_LI = np.array(config.I_Rotation_L, np.float64).reshape(3, 3)
+        t_LI = np.array(config.I_Translation_L, np.float64)
 
     rot_time = config.full_rotation_time
     n_scans = int(duration / rot_time)
@@ -237,19 +253,23 @@ def simulate(
     scans = []
     for si in range(n_scans):
         t0 = t_start + si * rot_time
-        az = np.linspace(0, 2 * np.pi, pts_per_line, endpoint=False)
-        col_t = t0 + (az / (2 * np.pi)) * rot_time
+        if azimuths is None:
+            az = np.linspace(0, 2 * np.pi, pts_per_line, endpoint=False)
+        else:
+            az = np.asarray(azimuths, np.float64)
+        cols = len(az)
+        col_t = t0 + (np.arange(cols) / cols) * rot_time
         # per-column sensor pose (body pose ∘ extrinsics)
         dirs_l = np.stack(
             [
                 np.cos(elev)[None, :] * np.cos(az)[:, None],
                 np.cos(elev)[None, :] * np.sin(az)[:, None],
-                np.broadcast_to(np.sin(elev)[None, :], (pts_per_line, lidar_lines)),
+                np.broadcast_to(np.sin(elev)[None, :], (cols, lidar_lines)),
             ],
             axis=-1,
         )  # (cols, lines, 3) in LiDAR frame
         pts_list, t_list = [], []
-        for ci in range(pts_per_line):
+        for ci in range(cols):
             R_b, p_b = traj.pose(col_t[ci])
             R_wl = R_b @ R_LI
             p_wl = R_b @ t_LI + p_b

@@ -109,6 +109,7 @@ def ring_knn(
     lgrid: GridParams,
     k: int = 5,
     rings: int = 1,
+    max_buckets: int | None = None,
     axis_name: str = AXIS,
 ):
     """KNN against the union of all map shards (inside shard_map).
@@ -128,7 +129,7 @@ def ring_knn(
 
     def hop(carry, _):
         q, b_pts, b_d2 = carry
-        nb, sq, _ = knn(m_local, q, lgrid, k=k, rings=rings)
+        nb, sq, _ = knn(m_local, q, lgrid, k=k, rings=rings, max_buckets=max_buckets)
         # fold the visiting block's new candidates into its running top-k
         cat_d2 = jnp.concatenate([b_d2, sq], axis=1)            # (n, 2k)
         cat_pts = jnp.concatenate([b_pts, nb], axis=1)          # (n, 2k, 3)
@@ -167,6 +168,7 @@ def make_sharded_map(mesh: Mesh, grid: GridParams) -> HashGridMap:
             ),
             num_points=jnp.zeros((D,), jnp.int32),
             num_buckets=jnp.zeros((D,), jnp.int32),
+            dropped=jnp.zeros((D,), jnp.int32),
         )
 
     specs = map_specs()
@@ -177,7 +179,8 @@ def make_sharded_map(mesh: Mesh, grid: GridParams) -> HashGridMap:
 def map_specs() -> HashGridMap:
     """PartitionSpecs of the sharded map (table rows over AXIS)."""
     return HashGridMap(
-        keys=P(AXIS), pts=P(AXIS), cell_d2=P(AXIS), num_points=P(AXIS), num_buckets=P(AXIS)
+        keys=P(AXIS), pts=P(AXIS), cell_d2=P(AXIS), num_points=P(AXIS),
+        num_buckets=P(AXIS), dropped=P(AXIS),
     )
 
 
@@ -201,7 +204,10 @@ def _body(inp: StepInputs, m_local: HashGridMap, static_cfg, lgrid: GridParams):
     knn_fn = partial(ring_knn, axis_name=AXIS)
     x_corr, P_corr, diag = iterated_update(
         x_pred, P_pred, m_local, ds.pts, ds.mask, lgrid, static_cfg, inp.dyn,
-        axis_name=AXIS, knn_fn=lambda m, q, g, k, rings: knn_fn(m, q, g, k=k, rings=rings),
+        axis_name=AXIS,
+        knn_fn=lambda m, q, g, k, rings, max_buckets=None: knn_fn(
+            m, q, g, k=k, rings=rings, max_buckets=max_buckets
+        ),
     )
     x_new = jax.tree.map(lambda c, p: jnp.where(enough, c, p), x_corr, x_pred)
     P_new = jnp.where(enough, P_corr, P_pred)
@@ -215,8 +221,10 @@ def _body(inp: StepInputs, m_local: HashGridMap, static_cfg, lgrid: GridParams):
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
     return StepOutputs(
         x=x_new, P=P_new, map=m_new, updated=enough, ds_count=total_ds,
-        global_pts=g_full, global_mask=inp.pts_mask, diag=diag,
-        telemetry=make_telemetry(enough, total_ds, diag, x_new),
+        global_pts=g_full, global_mask=inp.pts_mask,
+        global_ds=g_ds, global_ds_mask=ds.mask, diag=diag,
+        telemetry=make_telemetry(enough, total_ds, diag, x_new, m_new,
+                                 map_axis=AXIS),
     )
 
 
@@ -260,6 +268,8 @@ def make_map_sharded_step(mesh: Mesh, config, grid: GridParams):
             ds_count=rep,
             global_pts=pt,
             global_mask=pt,
+            global_ds=pt,
+            global_ds_mask=pt,
             diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
             telemetry=rep,
         )

@@ -73,6 +73,9 @@ def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
     m_new = insert(m, g_ds, ins_mask, grid, downsample=True)
 
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
+    # local shard of the ds window in world frame (gathered variant feeds the
+    # insert above; publish path reassembles from the point-sharded output)
+    g_ds_local = jnp.einsum("ij,nj->ni", R_wl, ds.pts) + t_wl
     return StepOutputs(
         x=x_new,
         P=P_new,
@@ -81,8 +84,10 @@ def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
         ds_count=total_ds,
         global_pts=g_full,
         global_mask=inp.pts_mask,
+        global_ds=g_ds_local,
+        global_ds_mask=ds.mask,
         diag=diag,
-        telemetry=make_telemetry(enough, total_ds, diag, x_new),
+        telemetry=make_telemetry(enough, total_ds, diag, x_new, m_new),
     )
 
 
@@ -120,6 +125,8 @@ def make_sharded_step(mesh: Mesh, config, grid: GridParams):
             ds_count=rep,
             global_pts=pt,
             global_mask=pt,
+            global_ds=pt,
+            global_ds_mask=pt,
             diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
             telemetry=rep,
         )

@@ -31,6 +31,7 @@ def _map_to_host(m: HashGridMap) -> dict:
         "cell_d2": np.asarray(m.cell_d2),
         "num_points": np.asarray(m.num_points),
         "num_buckets": np.asarray(m.num_buckets),
+        "dropped": np.asarray(m.dropped),
     }
 
 
@@ -111,6 +112,11 @@ def load_checkpoint(path: str, pipe) -> None:
         cell_d2=jnp.asarray(cell_d2),
         num_points=jnp.asarray(d["map_num_points"]),
         num_buckets=jnp.asarray(d["map_num_buckets"]),
+        dropped=(
+            jnp.asarray(d["map_dropped"])
+            if "map_dropped" in d
+            else jnp.zeros((), jnp.int32)   # pre-counter checkpoints
+        ),
     )
     pipe.t2 = float(d["t2"])
     pipe.last_time_updated = float(d["last_updated"])

@@ -44,6 +44,17 @@ class StepRecord:
     mean_residual: float
     iterations: int
     wall_ms: float
+    # degeneracy eigenvalues of HᵀH at the final GN iteration
+    # (print_degeneracy_values, main.cpp:156)
+    eigenvalues: np.ndarray = field(default_factory=lambda: np.zeros(12))
+    # online extrinsics estimate (print_extrinsics, main.cpp:96)
+    extr_rotvec: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    extr_t: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    # map occupancy / saturation (hashgrid counters)
+    map_points: int = 0
+    map_buckets: int = 0
+    map_dropped: int = 0
+    delta_norm: float = 0.0
 
 
 @dataclass
@@ -256,12 +267,17 @@ class LioPipeline:
         cfg = self.config
         wall0 = _time.perf_counter()
 
+        from ..step import (TEL_DELTA_NORM, TEL_DS_COUNT, TEL_EIG, TEL_EXT_R,
+                            TEL_EXT_T, TEL_ITERS, TEL_MAP_BUCKETS,
+                            TEL_MAP_DROPPED, TEL_MAP_POINTS, TEL_MATCHES,
+                            TEL_P, TEL_R, TEL_RESIDUAL, TEL_UPDATED, TEL_V)
+
         tele = np.asarray(jax.device_get(fetch))
-        updated = bool(tele[0] > 0.5)
-        ds_count, n_matches = tele[1], tele[2]
-        mean_res, iters = tele[3], tele[4]
-        R_h = tele[5:14].reshape(3, 3)
-        p_h, v_h = tele[14:17], tele[17:20]
+        updated = bool(tele[TEL_UPDATED] > 0.5)
+        ds_count, n_matches = tele[TEL_DS_COUNT], tele[TEL_MATCHES]
+        mean_res, iters = tele[TEL_RESIDUAL], tele[TEL_ITERS]
+        R_h = tele[TEL_R].reshape(3, 3)
+        p_h, v_h = tele[TEL_P], tele[TEL_V]
         if updated:
             # corrected state becomes the new deskew anchor (BUFFER_X push)
             self.anchor = out.x
@@ -295,19 +311,37 @@ class LioPipeline:
             mean_residual=float(mean_res),
             iterations=int(iters),
             wall_ms=wall_dispatch_ms + (_time.perf_counter() - wall0) * 1e3,
+            eigenvalues=np.asarray(tele[TEL_EIG]),
+            extr_rotvec=np.asarray(tele[TEL_EXT_R]),
+            extr_t=np.asarray(tele[TEL_EXT_T]),
+            map_points=int(tele[TEL_MAP_POINTS]),
+            map_buckets=int(tele[TEL_MAP_BUCKETS]),
+            map_dropped=int(tele[TEL_MAP_DROPPED]),
+            delta_norm=float(tele[TEL_DELTA_NORM]),
         )
         if updated:
             self._result.records.append(rec)
             # keep device handles; materialize lazily (pulling the full cloud
             # every step costs a host↔device round trip it rarely needs)
             self._last_gpts_dev = (out.global_pts, out.global_mask)
+            self._last_gds_dev = (out.global_ds, out.global_ds_mask)
             if self.publisher is not None:
-                # publish.state + window cloud (main.cpp:87-93); full-res
-                # cloud when high_quality_publish.  The cloud pull is gated on
-                # attached sinks — it is a full (N,3) readback.
+                # publish.state + tf (main.cpp:87-88)
                 self.publisher.state(rec)
+                if cfg.print_extrinsics:
+                    self.publisher.extrinsics(rec)
+                # window cloud /limovelo/pcl = the downsampled localize cloud
+                # (main.cpp:92-93).  Pulls are gated on attached sinks — each
+                # is a full (N,3) readback.
                 if getattr(self.publisher, "on_cloud", None):
-                    self.publisher.cloud(self._last_gpts, t2)
+                    self.publisher.cloud(self._last_gds, t2)
+                # map stream /limovelo/full_pcl, online branch
+                # (main.cpp:101-105): full-res when high_quality_publish
+                if cfg.mapping_online and getattr(self.publisher, "on_full_cloud", None):
+                    self.publisher.full_cloud(
+                        self._last_gpts if cfg.high_quality_publish else self._last_gds,
+                        t2,
+                    )
                 if getattr(self.publisher, "wants_planes", False):
                     # /limovelo/planes analog — pulled only when subscribed
                     cen, nrm, pv = jax.device_get(
@@ -339,8 +373,17 @@ class LioPipeline:
     # ------------------------------------------------------------------
     @property
     def _last_gpts(self):
-        """Latest global-frame window, materialized on demand."""
+        """Latest global-frame window (full res), materialized on demand."""
         dev = getattr(self, "_last_gpts_dev", None)
+        if dev is None:
+            return None
+        g, msk = jax.device_get(dev)
+        return g[msk]
+
+    @property
+    def _last_gds(self):
+        """Latest global-frame downsampled window, materialized on demand."""
+        dev = getattr(self, "_last_gds_dev", None)
         if dev is None:
             return None
         g, msk = jax.device_get(dev)
@@ -348,8 +391,10 @@ class LioPipeline:
 
     # ------------------------------------------------------------------
     def _offline_map(self, t2: float, rebase: float):
-        """Re-deskew [t2 − full_rotation_time, t2] with the final states and
-        insert the downsampled global cloud (offline mapping mode)."""
+        """Re-deskew [t2 − full_rotation_time, t2] with the final states,
+        insert the downsampled global cloud, and publish the map stream
+        (offline mapping branch, main.cpp:107-117: full-resolution cloud when
+        `high_quality_publish`, downsampled otherwise)."""
         cfg = self.config
         t_lo = t2 - cfg.full_rotation_time
         pts, pts_t = self.accum.get_points(t_lo, t2)
@@ -370,13 +415,19 @@ class LioPipeline:
         older = [a for a in self._anchors if a[0] <= t_lo]
         a_t, a_x, a_a, a_w = (older[-1] if older else self._anchors[0])
         imus = self._pad_imus(*self.accum.get_imus(a_t, t2), t2, rebase)
-        m_new, _, _ = mapping_step(
+        m_new, g_full, g_mask, g_ds, ds_mask = mapping_step(
             self.map, a_x, jnp.float32(a_t - rebase), jnp.asarray(a_a),
             jnp.asarray(a_w), imus, self.x, jnp.float32(t2 - rebase),
             jnp.asarray(pts_pad), jnp.asarray(t_pad), jnp.asarray(mask),
             self.dyn, self._static, self.grid,
         )
         self.map = m_new
+        if self.publisher is not None and getattr(self.publisher, "on_full_cloud", None):
+            if cfg.high_quality_publish:
+                g, msk = jax.device_get((g_full, g_mask))
+            else:
+                g, msk = jax.device_get((g_ds, ds_mask))
+            self.publisher.full_cloud(g[msk], t2)
 
     # ------------------------------------------------------------------
     def spin_once(self) -> bool:

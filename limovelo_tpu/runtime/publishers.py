@@ -57,6 +57,28 @@ class PoseArrayPacket:
 
 
 @dataclass
+class TfPacket:
+    """Equivalent content to the reference's TF broadcast map→body
+    (Publishers.hpp:118-135): a stamped rigid transform between two frames."""
+
+    t: float
+    parent: str            # "map"
+    child: str             # "body"
+    translation: np.ndarray  # (3,)
+    quaternion: np.ndarray   # (4,) (x,y,z,w)
+
+
+@dataclass
+class ExtrinsicsPacket:
+    """Online extrinsics estimate (publish.extrinsics / print_extrinsics,
+    main.cpp:96, Publishers.hpp:202-218): LiDAR→IMU rotation + translation."""
+
+    t: float
+    rotvec: np.ndarray     # (3,) Log(R_LI)
+    translation: np.ndarray  # (3,) t_LI
+
+
+@dataclass
 class StatePacket:
     """Equivalent content to /limovelo/state Odometry (Publishers.hpp:174-200):
     pose + body-frame velocity + yaw, stamped."""
@@ -81,13 +103,23 @@ class Publisher:
         self,
         metrics_path: Optional[str] = None,
         trajectory_path: Optional[str] = None,
+        log_degeneracy: bool = False,
+        log_extrinsics: bool = False,
     ):
         self._metrics: Optional[TextIO] = open(metrics_path, "w") if metrics_path else None
         self._traj: Optional[TextIO] = open(trajectory_path, "w") if trajectory_path else None
+        # JSONL verbosity — the print_degeneracy_values / print_extrinsics
+        # analogs (main.cpp:96,156): eigenvalues and extrinsics go into the
+        # metrics stream only when asked for
+        self.log_degeneracy = log_degeneracy
+        self.log_extrinsics = log_extrinsics
         self.on_state: List[Callable[[StatePacket], None]] = []
+        self.on_tf: List[Callable[[TfPacket], None]] = []
         self.on_cloud: List[Callable[[np.ndarray, float], None]] = []
+        self.on_full_cloud: List[Callable[[np.ndarray, float], None]] = []
         self.on_planes: List[Callable[[PlanesPacket], None]] = []
         self.on_states: List[Callable[[PoseArrayPacket], None]] = []
+        self.on_extrinsics: List[Callable[[ExtrinsicsPacket], None]] = []
 
     # ------------------------------------------------------------------
     def state(self, record) -> StatePacket:
@@ -105,6 +137,12 @@ class Publisher:
         )
         for cb in self.on_state:
             cb(pkt)
+        if self.on_tf:
+            # TF broadcast map→body rides with every state (main.cpp:88)
+            tf = TfPacket(t=record.t, parent="map", child="body",
+                          translation=pkt.p, quaternion=q)
+            for cb in self.on_tf:
+                cb(tf)
         if self._traj is not None:
             p = pkt.p
             self._traj.write(
@@ -113,30 +151,56 @@ class Publisher:
             )
             self._traj.flush()
         if self._metrics is not None:
-            self._metrics.write(
-                json.dumps(
-                    {
-                        "t": record.t,
-                        "updated": record.updated,
-                        "ds_count": record.ds_count,
-                        "matches": record.num_matches,
-                        "mean_residual": record.mean_residual,
-                        "iterations": record.iterations,
-                        "wall_ms": record.wall_ms,
-                        "p": np.asarray(record.p).round(6).tolist(),
-                        "v_body": pkt.v_body.round(6).tolist(),
-                        "yaw_deg": round(pkt.yaw_deg, 4),
-                    }
+            row = {
+                "t": record.t,
+                "updated": record.updated,
+                "ds_count": record.ds_count,
+                "matches": record.num_matches,
+                "mean_residual": record.mean_residual,
+                "iterations": record.iterations,
+                "wall_ms": record.wall_ms,
+                "p": np.asarray(record.p).round(6).tolist(),
+                "v_body": pkt.v_body.round(6).tolist(),
+                "yaw_deg": round(pkt.yaw_deg, 4),
+                "map_points": getattr(record, "map_points", 0),
+                "map_dropped": getattr(record, "map_dropped", 0),
+            }
+            if self.log_degeneracy:
+                row["eigenvalues"] = (
+                    np.asarray(record.eigenvalues).round(4).tolist()
                 )
-                + "\n"
-            )
+                row["delta_norm"] = round(float(record.delta_norm), 8)
+            if self.log_extrinsics:
+                row["extr_rotvec"] = np.asarray(record.extr_rotvec).round(8).tolist()
+                row["extr_t"] = np.asarray(record.extr_t).round(6).tolist()
+            self._metrics.write(json.dumps(row) + "\n")
             self._metrics.flush()
         return pkt
 
     def cloud(self, pts: np.ndarray, t: float):
-        """Publish a (global-frame) point cloud (window or map stream)."""
+        """Publish the window cloud — /limovelo/pcl (main.cpp:93)."""
         for cb in self.on_cloud:
             cb(pts, t)
+
+    def full_cloud(self, pts: np.ndarray, t: float):
+        """Publish the map stream — /limovelo/full_pcl (main.cpp:102-116):
+        the full-resolution compensated cloud when high_quality_publish, the
+        downsampled one otherwise; in offline mode, the re-deskewed full
+        rotation at map cadence."""
+        for cb in self.on_full_cloud:
+            cb(pts, t)
+
+    def extrinsics(self, record) -> ExtrinsicsPacket:
+        """Publish the online extrinsics estimate (print_extrinsics,
+        main.cpp:96)."""
+        pkt = ExtrinsicsPacket(
+            t=record.t,
+            rotvec=np.asarray(record.extr_rotvec),
+            translation=np.asarray(record.extr_t),
+        )
+        for cb in self.on_extrinsics:
+            cb(pkt)
+        return pkt
 
     @property
     def wants_planes(self) -> bool:

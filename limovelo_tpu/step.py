@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from .deskew.compensate import build_path, compensate, state_at
 from .filter.process import ImuWindow, predict_window
 from .filter.update import UpdateDiagnostics, iterated_update
+from .geometry import so3
 from .geometry.state import NavState
 from .mapping import GridParams, HashGridMap, insert
 from .ops.voxel import voxel_downsample
@@ -63,17 +64,39 @@ class StepOutputs(NamedTuple):
     map: HashGridMap
     updated: jnp.ndarray        # () bool — window had enough points
     ds_count: jnp.ndarray       # () int32 downsampled-point count
-    global_pts: jnp.ndarray     # (N,3) deskewed window in world frame
+    global_pts: jnp.ndarray     # (N,3) deskewed window in world frame (full res)
     global_mask: jnp.ndarray    # (N,)
+    global_ds: jnp.ndarray      # (N,3) downsampled window in world frame —
+                                # the /limovelo/pcl content (main.cpp:92-93)
+    global_ds_mask: jnp.ndarray # (N,)
     diag: UpdateDiagnostics
-    telemetry: jnp.ndarray      # (20,) f32 — everything the host needs per
-                                # step, in ONE buffer: [updated, ds_count,
-                                # num_matches, mean_residual, iterations,
-                                # R(9,row-major), p(3), v(3)].  The runtime
-                                # reads back only this vector: on a tunneled
-                                # TPU every device→host buffer costs a full
-                                # RPC round trip (~30 ms measured), so the
-                                # 8-buffer readback was 8 RPCs of latency
+    telemetry: jnp.ndarray      # (TELEMETRY_DIM,) f32 — everything the host
+                                # needs per step, in ONE buffer (layout in
+                                # `make_telemetry`).  The runtime reads back
+                                # only this vector: on a tunneled TPU every
+                                # device→host buffer costs a full RPC round
+                                # trip (~30 ms measured), so a multi-buffer
+                                # readback pays that once per buffer
+
+
+#: telemetry vector layout (see make_telemetry)
+TEL_UPDATED = 0
+TEL_DS_COUNT = 1
+TEL_MATCHES = 2
+TEL_RESIDUAL = 3
+TEL_ITERS = 4
+TEL_R = slice(5, 14)            # row-major rotation
+TEL_P = slice(14, 17)
+TEL_V = slice(17, 20)
+TEL_EIG = slice(20, 32)         # HᵀH eigenvalues at the final GN iteration
+                                # (print_degeneracy_values analog, main.cpp:156)
+TEL_EXT_R = slice(32, 35)       # Log(R_LI) rotation vector
+TEL_EXT_T = slice(35, 38)       # t_LI (print_extrinsics analog, main.cpp:96)
+TEL_MAP_POINTS = 38
+TEL_MAP_BUCKETS = 39
+TEL_MAP_DROPPED = 40            # cumulative saturation drops (hashgrid.insert)
+TEL_DELTA_NORM = 41
+TELEMETRY_DIM = 42
 
 
 @partial(jax.jit, static_argnames=("static_cfg", "grid"), donate_argnums=(0,))
@@ -96,8 +119,9 @@ def mapping_step(
     """Offline-mode map update (main.cpp:107-117): re-deskew the FULL last
     rotation with the final corrected states, downsample, insert globally.
 
-    Returns (map', global full-res points, global mask) — the full-resolution
-    cloud is what `high_quality_publish` streams out."""
+    Returns (map', global full-res points, global mask, global ds points,
+    ds mask) — `high_quality_publish` streams the full-resolution cloud,
+    otherwise the downsampled one (main.cpp:115-116)."""
     path = build_path(anchor, anchor_t, anchor_a, anchor_w, imus_path)
     pts_l2 = compensate(path, anchor, t2, pts, pts_t, pts_mask)
     R_wl = x_t2.R @ x_t2.R_LI
@@ -105,12 +129,29 @@ def mapping_step(
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
     ds = voxel_downsample(g_full, pts_mask, dyn.downsample_prec)
     m_new = insert(m, ds.pts, ds.mask, grid, downsample=True)
-    return m_new, g_full, pts_mask
+    return m_new, g_full, pts_mask, ds.pts, ds.mask
 
 
-def make_telemetry(enough, ds_count, diag: UpdateDiagnostics, x_new: NavState) -> jnp.ndarray:
-    """(20,) f32: [updated, ds_count, num_matches, mean_residual, iterations,
-    R(9, row-major), p(3), v(3)] — the single per-step readback buffer."""
+def make_telemetry(
+    enough, ds_count, diag: UpdateDiagnostics, x_new: NavState,
+    m_new: HashGridMap, map_axis: str | None = None,
+) -> jnp.ndarray:
+    """(TELEMETRY_DIM,) f32 — the single per-step readback buffer (TEL_*
+    indices above).  Carries everything the host bookkeeping + observability
+    layer consume: update outcome, pose/velocity, degeneracy eigenvalues,
+    online extrinsics, and map occupancy/saturation counters.
+
+    `map_axis`: inside a shard_map whose map counters are device-local
+    (map-block sharding), name the mesh axis so the counters are psum'd —
+    telemetry must be replicated."""
+    # sharded maps carry per-device (D,) counters; reduce to global scalars
+    map_pts = jnp.sum(m_new.num_points).astype(jnp.float32)
+    map_bks = jnp.sum(m_new.num_buckets).astype(jnp.float32)
+    map_drop = jnp.sum(m_new.dropped).astype(jnp.float32)
+    if map_axis is not None:
+        map_pts, map_bks, map_drop = jax.lax.psum(
+            (map_pts, map_bks, map_drop), map_axis
+        )
     return jnp.concatenate([
         jnp.stack([
             enough.astype(jnp.float32),
@@ -122,6 +163,11 @@ def make_telemetry(enough, ds_count, diag: UpdateDiagnostics, x_new: NavState) -
         x_new.R.reshape(-1).astype(jnp.float32),
         x_new.p.astype(jnp.float32),
         x_new.v.astype(jnp.float32),
+        diag.eigenvalues.astype(jnp.float32),
+        so3.log(x_new.R_LI).astype(jnp.float32),
+        x_new.t_LI.astype(jnp.float32),
+        jnp.stack([map_pts, map_bks, map_drop,
+                   diag.delta_norm.astype(jnp.float32)]),
     ])
 
 
@@ -155,7 +201,7 @@ def _lio_step_core(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams
     # full-resolution window in world frame, for publishing / offline mapping
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
 
-    telemetry = make_telemetry(enough, ds.count, diag, x_new)
+    telemetry = make_telemetry(enough, ds.count, diag, x_new, m_new)
 
     return StepOutputs(
         x=x_new,
@@ -165,6 +211,8 @@ def _lio_step_core(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams
         ds_count=ds.count,
         global_pts=g_full,
         global_mask=inp.pts_mask,
+        global_ds=g_ds,
+        global_ds_mask=ds.mask,
         diag=diag,
         telemetry=telemetry,
     )

@@ -104,10 +104,17 @@ def test_telemetry_layout():
         n_pts=len(h["pts"]), n_imu_f=len(h["imu"][0]), n_imu_p=len(h["imu"][0]),
         static_cfg=cfg.static(), grid=grid,
     )
+    from limovelo_tpu.step import (TELEMETRY_DIM, TEL_DS_COUNT, TEL_EXT_T,
+                                   TEL_MAP_DROPPED, TEL_MAP_POINTS, TEL_P,
+                                   TEL_R, TEL_UPDATED)
+
     tele = np.asarray(out.telemetry)
-    assert tele.shape == (20,)
-    assert tele[0] in (0.0, 1.0)                      # updated flag
-    assert tele[1] == float(np.asarray(out.ds_count))  # ds_count
-    R = tele[5:14].reshape(3, 3)
+    assert tele.shape == (TELEMETRY_DIM,)
+    assert tele[TEL_UPDATED] in (0.0, 1.0)                      # updated flag
+    assert tele[TEL_DS_COUNT] == float(np.asarray(out.ds_count))  # ds_count
+    R = tele[TEL_R].reshape(3, 3)
     np.testing.assert_allclose(R, np.asarray(out.x.R), atol=1e-7)
-    np.testing.assert_allclose(tele[14:17], np.asarray(out.x.p), atol=1e-7)
+    np.testing.assert_allclose(tele[TEL_P], np.asarray(out.x.p), atol=1e-7)
+    np.testing.assert_allclose(tele[TEL_EXT_T], np.asarray(out.x.t_LI), atol=1e-7)
+    assert tele[TEL_MAP_POINTS] == float(np.sum(np.asarray(out.map.num_points)))
+    assert tele[TEL_MAP_DROPPED] >= 0.0
