@@ -112,8 +112,11 @@ class KittiRawReader:
                 else float(self.velo_t[i]) + 0.05
             )
             # reconstruct per-point time from azimuth: HDL-64 spins so that
-            # azimuth decreases over the scan, starting at the rear (±pi)
-            az = -np.arctan2(pts[:, 1], pts[:, 0])  # clockwise sweep
+            # azimuth decreases over the scan, starting at the rear (±pi).
+            # f64 throughout: pts are f32 and a weak Python-float t0 would
+            # demote t_abs to f32, which cannot represent epoch-scale stamps
+            # (eps(f32 @ 1.3e9 s) ≈ 128 s — every per-point time collapses)
+            az = -np.arctan2(pts[:, 1].astype(np.float64), pts[:, 0].astype(np.float64))
             frac = (az - az.min()) / max(az.max() - az.min(), 1e-9)
             t_abs = t0 + frac * (t1 - t0)
             yield pts, t_abs, float(self.velo_t[i])

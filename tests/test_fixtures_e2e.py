@@ -31,6 +31,7 @@ from limovelo_tpu.runtime.evaluate import ate_rmse
 def _sim_cfg(**kw):
     base = dict(
         real_time=False,
+        LiDAR_type="velodyne",
         min_dist=0.5,
         downsample_prec=0.3,
         full_rotation_time=0.1,
