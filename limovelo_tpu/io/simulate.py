@@ -172,26 +172,45 @@ class Trajectory:
         return R.T @ np.array([0.0, 0.0, yaw_rate])
 
 
-def corridor_trajectory(speed: float = 5.0, weave: float = 0.5) -> Trajectory:
+def _ramped_distance(t: float, ramp: float) -> float:
+    """∫₀ᵗ smoothstep(τ/ramp) dτ — C² standing-start profile: velocity ramps
+    0→1 over `ramp` seconds (the racing reality: the filter initializes at
+    rest like the car does; README.md:19-20's 20 m/s is reached, not
+    teleported into).  ramp=0 → identity (legacy full-speed-at-t0)."""
+    if ramp <= 0.0:
+        return t
+    if t <= 0.0:
+        return 0.0
+    if t >= ramp:
+        return t - ramp / 2.0
+    u = t / ramp
+    return ramp * (u ** 3 - u ** 4 / 2.0)
+
+
+def corridor_trajectory(speed: float = 5.0, weave: float = 0.5,
+                        ramp: float = 0.0) -> Trajectory:
     def pos(t):
+        s = _ramped_distance(t, ramp)
         return np.array(
-            [speed * t, weave * np.sin(0.8 * t), 1.5 + 0.1 * np.sin(1.3 * t)]
+            [speed * s, weave * np.sin(0.8 * s), 1.5 + 0.1 * np.sin(1.3 * s)]
         )
 
     def yaw(t):
-        return 0.12 * np.sin(0.5 * t)
+        return 0.12 * np.sin(0.5 * _ramped_distance(t, ramp))
 
     return Trajectory(pos, yaw)
 
 
-def circle_trajectory(radius: float = 5.0, omega: float = 0.5) -> Trajectory:
+def circle_trajectory(radius: float = 5.0, omega: float = 0.5,
+                      ramp: float = 0.0) -> Trajectory:
     def pos(t):
+        s = _ramped_distance(t, ramp)
         return np.array(
-            [radius * np.cos(omega * t) - radius, radius * np.sin(omega * t), 1.5]
+            [radius * np.cos(omega * s) - radius, radius * np.sin(omega * s), 1.5]
         )
 
     def yaw(t):
-        return omega * t + np.pi / 2
+        return omega * _ramped_distance(t, ramp) + np.pi / 2
 
     return Trajectory(pos, yaw)
 

@@ -215,6 +215,19 @@ class Publisher:
         for cb in self.on_planes:
             cb(pkt)
 
+    def loop(self, t: float, i: int, j: int, rms: float, n_matches: int,
+             accepted: bool):
+        """Publish a loop-closure attempt (beyond-reference backend event);
+        lands in the JSONL metrics stream as an `event: loop` row so long-run
+        drift correction is observable alongside the per-step records."""
+        if self._metrics is not None:
+            self._metrics.write(json.dumps({
+                "event": "loop", "t": t, "i": int(i), "j": int(j),
+                "rms": round(float(rms), 6), "matches": int(n_matches),
+                "accepted": bool(accepted),
+            }) + "\n")
+            self._metrics.flush()
+
     def states(self, times: np.ndarray, positions: np.ndarray, rotations: np.ndarray, t: float):
         """Publish the recent corrected states as a pose array
         (/limovelo/states; Publishers.hpp:47-69)."""

@@ -52,6 +52,9 @@ class SlamPipeline(LioPipeline):
             KeyframeSelector(kf_min_translation, kf_min_rotation_deg)
         )
         self.loop_edges: List[Tuple[int, int]] = []
+        # per-attempt stats (accepted or not): observability for long-run
+        # drift correction (VERDICT r1 #7)
+        self.loop_stats: List[dict] = []
         self._graph_loops: List[tuple] = []
         self._loop_check_every = loop_check_every
         self._loop_min_index_gap = loop_min_index_gap
@@ -104,7 +107,14 @@ class SlamPipeline(LioPipeline):
             R, p, rms, n = register_scan_to_map(
                 fi.scan, fj.scan, R0.astype(np.float32), p0.astype(np.float32)
             )
-            if rms < self._loop_max_rms and n > 200:
+            accepted = rms < self._loop_max_rms and n > 200
+            self.loop_stats.append({
+                "t": fi.t, "i": i, "j": j, "rms": rms, "matches": n,
+                "accepted": accepted,
+            })
+            if self.publisher is not None and hasattr(self.publisher, "loop"):
+                self.publisher.loop(fi.t, i, j, rms, n, accepted)
+            if accepted:
                 self.loop_edges.append((i, j))
                 self._graph_loops.append((j, i, R, p))
 
