@@ -191,20 +191,23 @@ def iterated_update(
         newly_done = max_d < eps_limit
         it = it + jnp.where(done, 0, 1)
         done = done | newly_done
-        out = (valid, r, eigval, max_d)
+        # thread the per-iteration share struct out of the scan: the LAST
+        # slot is the final iterate's match (once `done` the state freezes
+        # but the match still runs at it), so P⁺ and the diagnostics reuse
+        # it instead of paying a 4th full match/KNN pass (the reference's
+        # IKFoM likewise reuses the last share struct, Localizator.cpp:129-133)
+        out = (valid, r, eigval, max_d, HtH, fit.normal, fit.centroid)
         return (x, done, it), out
 
     init = (x0, jnp.asarray(False), jnp.zeros((), jnp.int32))
-    (x, _, iters), (valids, rs, eigs, max_ds) = jax.lax.scan(
+    (x, _, iters), (valids, rs, eigs, max_ds, HtHs, normals, centroids) = jax.lax.scan(
         gn_iteration, init, None, length=static_cfg.MAX_NUM_ITERS
     )
 
-    # final covariance + diagnostics from the last executed iteration
-    r, fit, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn, knn_fn)
+    # final covariance from the last iteration's (already psum'd) HᵀH
+    valid, r = valids[-1], rs[-1]
     w = valid.astype(dtype)
-    H = observation_matrix(x, pts_lidar, fit.normal, static_cfg.estimate_extrinsics)
-    Hw = H * w[:, None]
-    HtH = psum(Hw.T @ H)
+    HtH = HtHs[-1]
     L = chart_transport(x, x0, dtype)
     LtPinvL = L.T @ P_inv @ L
     S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype).at[:12, :12].set(HtH * r_inv) + LtPinvL
@@ -218,8 +221,8 @@ def iterated_update(
         eigenvalues=eigs[-1],
         delta_norm=max_ds[-1],
         iterations=iters,
-        plane_normals=fit.normal,
-        plane_centroids=fit.centroid,
+        plane_normals=normals[-1],
+        plane_centroids=centroids[-1],
         plane_valid=valid,
     )
     return x, P_new, diag

@@ -4,29 +4,96 @@ TPU-native replacement for `R3Math::estimate_plane`/`is_plane`
 (`/root/reference/src/Utils/Utils.cpp:32-66`) and the `Plane` gatekeepers
 (`src/Objects/Plane.cpp:19-55`).  The reference runs one 5×3 QR solve per
 query point inside the OpenMP match loop (hot loop #4); here every point's
-fit is a closed-form 3×3 normal-equation solve, batched over the whole window
-in one fused call.
+fit is a closed-form batched solve over the whole window in one fused call.
 
-Plane model: A·x + B·y + C·z + D = 0 with (A,B,C) unit.  Fitted by solving
-`N·[a b c]ᵀ = -1` in least squares (same formulation as estimate_plane), then
-normalizing: n = v/‖v‖, D = 1/‖v‖.
+Plane model: unit normal n with the plane anchored at the neighbor centroid c;
+signed distance of a point q is  n·(q − c).
+
+Why not the reference's formulation: `estimate_plane` solves `P·v = −1` over
+the RAW neighbor coordinates (Utils.cpp:32-57) — fine in its f64 CPU solve,
+but catastrophically ill-conditioned in f32 once the map is far from the
+origin.  With neighbors p = c + δ (centroid |c| ~ 160 m on a long corridor,
+local spread ‖δ‖ ~ 0.5 m, planarity noise ~ 0.01 m), cond(PᵀP) ≈
+|c|²/noise² ~ 1e9–1e10, far beyond f32's 1/eps ≈ 8.4e6 — the normals turn to
+noise exactly when the trajectory gets long.  The fix is the standard
+geometric fit in CENTERED coordinates: n = the smallest-eigenvalue direction
+of the 3×3 neighbor scatter ΔᵀΔ (total least squares), whose conditioning is
+independent of |c|.  For gate-passing (flat) neighbor sets the two normals
+agree to O(noise²/spread²); the residual gate (PLANES_THRESHOLD) rejects
+everything else in both formulations.
+
+The eigenvector is computed with a closed-form analytic 3×3 symmetric
+eigensolver (trigonometric characteristic-polynomial roots + cross-product
+null-space extraction) — pure elementwise VPU work that XLA fuses, no LAPACK
+loop, no per-point QR.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
 
 class PlaneFit(NamedTuple):
     normal: jnp.ndarray     # (N, 3) unit normals
-    d: jnp.ndarray          # (N,)  plane offset D
     valid: jnp.ndarray      # (N,)  all gates passed (`Match::is_chosen`)
-    centroid: jnp.ndarray   # (N, 3) neighbor centroid (viz: /limovelo/planes;
-                            #   the reference computes this with an
-                            #   uninitialized accumulator, Utils.cpp:68-73 —
-                            #   fixed here, viz-only impact)
+    centroid: jnp.ndarray   # (N, 3) neighbor centroid — the plane anchor
+                            #   (also viz: /limovelo/planes; the reference
+                            #   computes this with an uninitialized
+                            #   accumulator, Utils.cpp:68-73 — fixed here)
+
+    def offset_D(self) -> jnp.ndarray:
+        """Classic D of (A,B,C,D) with n·q + D = dist — publishing only;
+        reconstructing it reintroduces the large-coordinate product n·c, so
+        the solver never uses it."""
+        return -jnp.sum(self.normal * self.centroid, axis=-1)
+
+
+def _smallest_eigvec_3x3(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigenvector of the smallest eigenvalue of symmetric (..., 3, 3) A,
+    plus an ok-flag (False where the null-space direction is numerically
+    ambiguous — isotropic or rank-0 scatter; callers gate those out).
+
+    Analytic: trig solution of the characteristic cubic (Smith's algorithm),
+    then the eigenvector as the largest cross product of rows of (A − λI).
+    All elementwise — fuses into the surrounding match computation.
+    """
+    dtype = A.dtype
+    # scale-normalize for stability
+    scale = jnp.maximum(jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True), 1e-30)
+    B = A / scale
+
+    q = jnp.trace(B, axis1=-2, axis2=-1) / 3.0
+    Bq = B - q[..., None, None] * jnp.eye(3, dtype=dtype)
+    p2 = jnp.sum(Bq * Bq, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    p_safe = jnp.where(p > 1e-20, p, 1.0)
+    C = Bq / p_safe[..., None, None]
+    detC = jnp.linalg.det(C)
+    r = jnp.clip(detC / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # eigenvalues: λ_max = q + 2p cos(φ); λ_min = q + 2p cos(φ + 2π/3)
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # null-space direction of (B − λ_min I): rows span the orthogonal plane
+    M = B - lam_min[..., None, None] * jnp.eye(3, dtype=dtype)
+    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c12 = jnp.cross(r1, r2)
+    c02 = jnp.cross(r0, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    best = jnp.where(
+        (n01 >= n12)[..., None] & (n01 >= n02)[..., None],
+        c01,
+        jnp.where((n12 >= n02)[..., None], c12, c02),
+    )
+    nbest = jnp.sqrt(jnp.maximum(jnp.maximum(n01, n12), n02))
+    ok = (nbest > 1e-12) & (p > 1e-20)
+    v = best / jnp.where(nbest > 1e-12, nbest, 1.0)[..., None]
+    return v, ok
 
 
 def fit_planes(
@@ -42,45 +109,53 @@ def fit_planes(
     2. farthest sq dist < MAX_DIST_PLANE²  (points_close_enough, :40-43)
     3. every |residual| < PLANES_THRESHOLD (R3Math::is_plane, Utils.cpp:59-66)
     """
-    N, k, _ = neighbors.shape
     dtype = neighbors.dtype
 
     enough = jnp.all(nb_valid, axis=-1)
     worst = jnp.max(jnp.where(nb_valid, sq_dists, jnp.inf), axis=-1)
     close = worst < max_dist_plane * max_dist_plane
 
-    # normal equations for A v = -1:  (AᵀA) v = -Aᵀ1
-    pts = jnp.where(nb_valid[..., None], neighbors, 0.0)
-    AtA = jnp.einsum("nki,nkj->nij", pts, pts)            # (N,3,3)
-    At1 = -jnp.sum(pts, axis=1)                           # (N,3)
-    # regularize to keep the solve finite for degenerate neighbor sets; such
-    # fits are rejected by gate 3 anyway
-    AtA = AtA + 1e-8 * jnp.eye(3, dtype=dtype)
-    v = jnp.linalg.solve(AtA, At1[..., None])[..., 0]     # (N,3)
+    # centered scatter — conditioning independent of distance from origin
+    w_mask = nb_valid[..., None].astype(dtype)
+    cnt = jnp.sum(nb_valid, axis=-1).astype(dtype)            # (N,)
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    centroid = jnp.sum(neighbors * w_mask, axis=1) / cnt_safe[..., None]
+    delta = jnp.where(nb_valid[..., None], neighbors - centroid[:, None, :], 0.0)
+    AtA = jnp.einsum("nki,nkj->nij", delta, delta)            # (N,3,3)
 
-    norm = jnp.linalg.norm(v, axis=-1)
-    norm_safe = jnp.where(norm > 1e-12, norm, 1.0)
-    normal = v / norm_safe[..., None]
-    d = 1.0 / norm_safe
+    normal, ok = _smallest_eigvec_3x3(AtA)
 
-    # residual gate over the actual neighbors
-    res = jnp.einsum("nki,ni->nk", neighbors, normal) + d[..., None]
-    flat = jnp.all(jnp.where(nb_valid, jnp.abs(res), 0.0) < planes_threshold, axis=-1)
+    # deterministic sign: +z hemisphere (ties → +y, then +x).  Sign is
+    # irrelevant to the update (r and H flip together); determinism keeps
+    # runs bit-reproducible.
+    s = jnp.where(
+        jnp.abs(normal[..., 2]) > 1e-6,
+        jnp.sign(normal[..., 2]),
+        jnp.where(
+            jnp.abs(normal[..., 1]) > 1e-6,
+            jnp.sign(normal[..., 1]),
+            jnp.where(normal[..., 0] >= 0, 1.0, -1.0),
+        ),
+    )
+    normal = normal * s[..., None]
 
-    finite = jnp.all(jnp.isfinite(v), axis=-1) & jnp.isfinite(d)
-    valid = enough & close & flat & (norm > 1e-12) & finite
-    # zero out invalid rows: degenerate solves can return inf/NaN, and a
-    # later `H * mask` would still propagate them (NaN·0 = NaN)
+    # residual gate over the actual neighbors, in centered coordinates
+    res = jnp.einsum("nki,ni->nk", delta, normal)
+    flat = jnp.all(
+        jnp.where(nb_valid, jnp.abs(res), 0.0) < planes_threshold, axis=-1
+    )
+
+    finite = jnp.all(jnp.isfinite(normal), axis=-1)
+    valid = enough & close & flat & finite & ok
+    # zero out invalid rows: degenerate solves can produce junk directions,
+    # and a later `H * mask` would still propagate NaNs (NaN·0 = NaN)
     normal = jnp.where(valid[..., None], normal, 0.0)
-    d = jnp.where(valid, d, 0.0)
-
-    cnt = jnp.sum(nb_valid, axis=-1).astype(dtype)        # (N,)
-    centroid = -At1 / jnp.maximum(cnt, 1.0)[..., None]    # sum(pts)/count
     centroid = jnp.where(valid[..., None], centroid, 0.0)
-    return PlaneFit(normal=normal, d=d, valid=valid, centroid=centroid)
+    return PlaneFit(normal=normal, valid=valid, centroid=centroid)
 
 
 def point_plane_distance(pts: jnp.ndarray, fit: PlaneFit) -> jnp.ndarray:
     """Signed distance of each (global-frame) point to its matched plane
-    (`Plane::dist_to_plane`, Plane.cpp:27-29)."""
-    return jnp.sum(pts * fit.normal, axis=-1) + fit.d
+    (`Plane::dist_to_plane`, Plane.cpp:27-29) — computed against the fit
+    centroid so no large-coordinate cancellation occurs."""
+    return jnp.sum((pts - fit.centroid) * fit.normal, axis=-1)
