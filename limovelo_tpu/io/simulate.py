@@ -172,13 +172,18 @@ class Trajectory:
         return R.T @ np.array([0.0, 0.0, yaw_rate])
 
 
-def _ramped_distance(t: float, ramp: float) -> float:
-    """∫₀ᵗ smoothstep(τ/ramp) dτ — C² standing-start profile: velocity ramps
-    0→1 over `ramp` seconds (the racing reality: the filter initializes at
-    rest like the car does; README.md:19-20's 20 m/s is reached, not
-    teleported into).  ramp=0 → identity (legacy full-speed-at-t0)."""
+def _ramped_distance(t: float, ramp: float, hold: float = 0.0) -> float:
+    """∫₀ᵗ smoothstep((τ−hold)/ramp) dτ — C² standing-start profile: the car
+    sits still for `hold` seconds, then velocity ramps 0→1 over `ramp`
+    seconds (the racing reality: the filter initializes at rest like the car
+    does; README.md:19-20's 20 m/s is reached, not teleported into).  The
+    hold matters: the estimator's readiness gate buffers ~2·real_time_delay
+    of IMU before initializing (Accumulator.cpp:154-156), and it seeds v=0 —
+    a launch already in progress at t0 would hand it a wrong initial
+    velocity no real dataset has.  ramp=0 → step to full speed after hold."""
+    t = t - hold
     if ramp <= 0.0:
-        return t
+        return max(t, 0.0)
     if t <= 0.0:
         return 0.0
     if t >= ramp:
@@ -188,29 +193,29 @@ def _ramped_distance(t: float, ramp: float) -> float:
 
 
 def corridor_trajectory(speed: float = 5.0, weave: float = 0.5,
-                        ramp: float = 0.0) -> Trajectory:
+                        ramp: float = 0.0, hold: float = 0.0) -> Trajectory:
     def pos(t):
-        s = _ramped_distance(t, ramp)
+        s = _ramped_distance(t, ramp, hold)
         return np.array(
             [speed * s, weave * np.sin(0.8 * s), 1.5 + 0.1 * np.sin(1.3 * s)]
         )
 
     def yaw(t):
-        return 0.12 * np.sin(0.5 * _ramped_distance(t, ramp))
+        return 0.12 * np.sin(0.5 * _ramped_distance(t, ramp, hold))
 
     return Trajectory(pos, yaw)
 
 
 def circle_trajectory(radius: float = 5.0, omega: float = 0.5,
-                      ramp: float = 0.0) -> Trajectory:
+                      ramp: float = 0.0, hold: float = 0.0) -> Trajectory:
     def pos(t):
-        s = _ramped_distance(t, ramp)
+        s = _ramped_distance(t, ramp, hold)
         return np.array(
             [radius * np.cos(omega * s) - radius, radius * np.sin(omega * s), 1.5]
         )
 
     def yaw(t):
-        return omega * _ramped_distance(t, ramp) + np.pi / 2
+        return omega * _ramped_distance(t, ramp, hold) + np.pi / 2
 
     return Trajectory(pos, yaw)
 
@@ -346,5 +351,7 @@ def replay_into(pipe, sim: SimData, spin_every_imu: bool = False) -> None:
         pipe.spin()
     while ii < m:
         pipe.add_imu(sim.imu_t[ii], sim.imu_a[ii], sim.imu_w[ii])
+        if spin_every_imu:
+            pipe.spin()
         ii += 1
     pipe.spin()

@@ -222,7 +222,7 @@ class Publisher:
         drift correction is observable alongside the per-step records."""
         if self._metrics is not None:
             self._metrics.write(json.dumps({
-                "event": "loop", "t": t, "i": int(i), "j": int(j),
+                "event": "loop", "t": float(t), "i": int(i), "j": int(j),
                 "rms": round(float(rms), 6), "matches": int(n_matches),
                 "accepted": bool(accepted),
             }) + "\n")

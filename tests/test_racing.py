@@ -27,7 +27,7 @@ from limovelo_tpu.runtime.evaluate import ate_rmse
 from limovelo_tpu.runtime.pipeline import LioPipeline
 
 GRID = GridParams(table_size=1 << 15, coarse_factor=4, voxel_size=0.2, probe_length=8)
-# a 220 m corridor at 0.2 m voxels needs far more slots than a room scene
+# a 180 m corridor at 0.2 m voxels needs far more slots than a room scene
 GRID_LONG = GridParams(table_size=1 << 17, coarse_factor=4, voxel_size=0.2, probe_length=8)
 
 
@@ -61,11 +61,13 @@ def racing_cfg(**kw):
 class TestRacingEnvelope:
     def test_straight_20ms(self):
         """20 m/s corridor straight (README.md:19), real-time windowing.
-        Standing start (ramp 0→20 m/s over 1.5 s — the filter initializes at
-        rest like the car); IMU-granularity spins so real-time windows chain
-        at the update rate instead of once per scan."""
+        Standing start: 0.5 s stationary hold (the readiness gate buffers
+        ~0.2 s of IMU before initializing with v=0 — real datasets start at
+        rest), then ramp 0→20 m/s over 1.5 s.  IMU-granularity spins so
+        real-time windows chain at the update rate instead of once per
+        scan."""
         cfg = racing_cfg()
-        traj = corridor_trajectory(speed=20.0, weave=0.3, ramp=1.5)
+        traj = corridor_trajectory(speed=20.0, weave=0.3, ramp=1.5, hold=0.5)
         world = corridor_world(length=180.0, width=8.0, pillar_every=6.0)
         sim = simulate(world, traj, cfg, duration=8.0, lidar_lines=12,
                        pts_per_line=200, imu_rate=400.0, seed=21)
@@ -83,7 +85,7 @@ class TestRacingEnvelope:
         envelope, which pairs 100 deg/s with lower speeds): r = v/ω ≈ 11.5 m."""
         cfg = racing_cfg()
         omega = np.deg2rad(100.0)
-        traj = circle_trajectory(radius=20.0 / omega, omega=omega, ramp=1.5)
+        traj = circle_trajectory(radius=20.0 / omega, omega=omega, ramp=1.5, hold=0.5)
         world = room_world(size=56.0, n_boxes=16, seed=4)
         sim = simulate(world, traj, cfg, duration=6.0, lidar_lines=12,
                        pts_per_line=220, imu_rate=400.0, seed=22)
@@ -109,7 +111,7 @@ class TestRacingEnvelope:
             real_time=False,
         )
         omega = 0.6
-        traj = circle_trajectory(radius=5.0, omega=omega)
+        traj = circle_trajectory(radius=5.0, omega=omega, ramp=1.0, hold=0.5)
         world = room_world(size=26.0, n_boxes=12, seed=6)
         sim = simulate(world, traj, cfg, duration=8.0, lidar_lines=12,
                        pts_per_line=200, imu_rate=400.0, seed=23,
