@@ -18,15 +18,20 @@ import sys
 import time
 
 
-def _load_config(args):
+def _load_config(args, default_profile="default"):
+    """Resolve the config profile.  `default_profile` is the per-command
+    fallback when no --config is given: the kitti command must default to
+    the KITTI profile (gravity sign, extrinsics — config/kitti.yaml) rather
+    than DEFAULT, mirroring how `launch/kitti.launch` loads its own YAML."""
     from limovelo_tpu import DEFAULT, KITTI, Config
 
-    if args.config == "kitti":
+    name = args.config if args.config is not None else default_profile
+    if name == "kitti":
         cfg = KITTI
-    elif args.config in (None, "default"):
+    elif name == "default":
         cfg = DEFAULT
     else:
-        cfg = Config.from_yaml(args.config)
+        cfg = Config.from_yaml(name)
     overrides = {}
     if args.real_time is not None:
         overrides["real_time"] = args.real_time
@@ -187,7 +192,12 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.cmd == "viz":
         return _viz_main(args)
-    cfg = _load_config(args)
+    # resolve the FULL config (per-command default profile + CLI overrides +
+    # sim-mode tweaks) before the pipeline is constructed — the pipeline
+    # freezes extrinsics/gravity/buckets at build time
+    cfg = _load_config(args, "kitti" if args.cmd == "kitti" else "default")
+    if args.cmd == "sim":
+        cfg = cfg.replace(real_time=False, min_dist=0.5, downsample_prec=0.3)
     pipe = _make_pipe(cfg, args)
     if args.resume:
         from limovelo_tpu.runtime.checkpoint import load_checkpoint
@@ -202,7 +212,6 @@ def main(argv=None):
     elif args.cmd == "kitti":
         from limovelo_tpu.io.kitti import KittiRawReader, feed_pipeline
 
-        cfg = cfg if args.config else _load_config(argparse.Namespace(**{**vars(args), "config": "kitti"}))
         feed_pipeline(pipe, KittiRawReader(args.drive), cfg, max_scans=args.max_scans)
     elif args.cmd == "sim":
         from limovelo_tpu.io.simulate import (
@@ -214,8 +223,6 @@ def main(argv=None):
             simulate,
         )
 
-        cfg = cfg.replace(real_time=False, min_dist=0.5, downsample_prec=0.3)
-        pipe = _make_pipe(cfg, args)
         if args.world == "corridor":
             world, traj = corridor_world(length=200.0), corridor_trajectory(speed=args.speed)
         else:

@@ -95,6 +95,14 @@ class Config:
     # --- Online/offline (main.cpp:137-138) ---
     mapping_online: bool = True
     real_time: bool = True
+    # Three-way mapping mode (beyond the reference's bool):
+    #   "online"  — insert every accepted window (mapping_online=true)
+    #   "offline" — re-deskew + insert every full rotation (main.cpp:107-117)
+    #   "none"    — NEVER insert: the map stays frozen (HD-map
+    #               prelocalization, the reference's unfinished hdmaps goal,
+    #               README.md:64-68)
+    # None (default) derives from `mapping_online` for reference parity.
+    mapping: object = None           # str | None
 
     # --- Extrinsics (main.cpp:139-140, 172-174) ---
     estimate_extrinsics: bool = False
@@ -191,6 +199,15 @@ class Config:
         return (-gx, -gy, -gz)
 
     @property
+    def mapping_mode(self) -> str:
+        """Resolved mapping mode: explicit `mapping` wins, else derived from
+        the reference-parity `mapping_online` bool."""
+        if self.mapping is not None:
+            assert self.mapping in ("online", "offline", "none"), self.mapping
+            return self.mapping
+        return "online" if self.mapping_online else "offline"
+
+    @property
     def map_coarse_size(self) -> float:
         return self.map_voxel_size * self.map_coarse_factor
 
@@ -213,7 +230,7 @@ class Config:
             MAX_NUM_ITERS=self.MAX_NUM_ITERS,
             NUM_MATCH_POINTS=self.NUM_MATCH_POINTS,
             estimate_extrinsics=self.estimate_extrinsics,
-            mapping_online=self.mapping_online,
+            mapping_online=(self.mapping_mode == "online"),
             knn_rings=rings,
             # tiering only matters beyond the 27-bucket neighborhood
             knn_max_buckets=(

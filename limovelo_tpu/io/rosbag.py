@@ -210,10 +210,20 @@ def feed_pipeline(pipe, bag_path: str, config, max_msgs: Optional[int] = None):
 
     reader = BagReader(bag_path)
     count = 0
+    # The reference main loop runs after EVERY message (ros::spinOnce at up
+    # to 5 kHz, main.cpp:50-63): with real_time=True each IMU arrival moves
+    # `latest_time` forward and can open a new window, so delta=0.01 configs
+    # really update at ~100 Hz instead of being capped at the ~10 Hz scan
+    # rate.  Offline (real_time=False) windows advance by fixed deltas from
+    # buffered data, so spinning once per scan batch is equivalent and far
+    # cheaper on host.
+    spin_every_imu = bool(config.real_time)
     for msg in reader.messages(topics=[config.points_topic, config.imus_topic]):
         if msg.msg_type.endswith("Imu"):
             t, q, w, a = decode_imu(msg.raw)
             pipe.add_imu(t, a.astype(np.float32), w.astype(np.float32), q=q)
+            if spin_every_imu:
+                pipe.spin()
         else:
             stamp, fields = decode_pointcloud2(msg.raw)
             xyz = np.stack([fields["x"], fields["y"], fields["z"]], axis=1)

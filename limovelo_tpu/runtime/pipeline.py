@@ -115,9 +115,16 @@ class LioPipeline:
     def from_hd_map(cls, config, map_path: str, grid: Optional[GridParams] = None):
         """Prelocalization mode: start localizing against a prebuilt HD map
         (the reference's unfinished `hdmaps` feature, README.md:64-68).
-        Typically combined with mapping_online=False to keep the map frozen."""
+
+        Unless the config sets `mapping` explicitly, the map is FROZEN
+        (mapping mode "none"): no window is ever inserted, so the prebuilt
+        map stays bit-identical for the whole run.  Pass
+        config.replace(mapping="online"/"offline") to extend the HD map
+        instead."""
         from .checkpoint import load_map
 
+        if config.mapping is None:
+            config = config.replace(mapping="none")
         pipe = cls(config, grid=grid)
         pipe._preloaded_map = load_map(map_path, pipe.grid)
         return pipe
@@ -290,9 +297,11 @@ class LioPipeline:
                 self.last_map_time = t2
 
         # Step 2 (offline mode): map every full rotation with final states
-        # (main.cpp:107-117, Mapper::hasToMap)
+        # (main.cpp:107-117, Mapper::hasToMap).  Mode "none" (frozen HD map)
+        # never inserts anywhere: the device step's insert mask is already
+        # False (static mapping_online=False) and this branch is skipped.
         if (
-            not cfg.mapping_online
+            cfg.mapping_mode == "offline"
             and updated
             and self.last_map_time is not None
             and t2 - self.last_map_time >= cfg.full_rotation_time
@@ -337,7 +346,7 @@ class LioPipeline:
                     self.publisher.cloud(self._last_gds, t2)
                 # map stream /limovelo/full_pcl, online branch
                 # (main.cpp:101-105): full-res when high_quality_publish
-                if cfg.mapping_online and getattr(self.publisher, "on_full_cloud", None):
+                if cfg.mapping_mode == "online" and getattr(self.publisher, "on_full_cloud", None):
                     self.publisher.full_cloud(
                         self._last_gpts if cfg.high_quality_publish else self._last_gds,
                         t2,
