@@ -46,6 +46,10 @@ class DynParams(NamedTuple):
 
     MAX_DIST_PLANE: object        # f32 scalar
     PLANES_THRESHOLD: object
+    plane_planarity: object
+    plane_linearity: object
+    QUERY_THRESHOLD: object
+    huber_delta: object
     LiDAR_noise: object
     degeneracy_threshold: object
     LIMITS: object
@@ -59,6 +63,10 @@ class DynParams(NamedTuple):
         return cls(
             MAX_DIST_PLANE=jnp.float32(c.MAX_DIST_PLANE),
             PLANES_THRESHOLD=jnp.float32(c.PLANES_THRESHOLD),
+            plane_planarity=jnp.float32(c.plane_planarity),
+            plane_linearity=jnp.float32(c.plane_linearity),
+            QUERY_THRESHOLD=jnp.float32(c.QUERY_THRESHOLD),
+            huber_delta=jnp.float32(c.huber_delta),
             LiDAR_noise=jnp.float32(c.LiDAR_noise),
             degeneracy_threshold=jnp.float32(c.degeneracy_threshold),
             LIMITS=jnp.float32(c.LIMITS),
@@ -126,6 +134,33 @@ class Config:
     MAX_DIST_PLANE: float = 2.0
     PLANES_THRESHOLD: float = 0.1
     PLANES_CHOOSE_CONSTANT: float = 9.0   # declared, unused in reference too
+    # beyond-reference junction gate: reject neighbor sets whose scatter has
+    # λ_min > plane_planarity·λ_mid (corner/edge pseudo-planes that pass the
+    # absolute PLANES_THRESHOLD gate; see ops/planes.py).  1.0 disables.
+    plane_planarity: float = 0.12
+    # beyond-reference collinearity gate: reject neighbor sets whose scatter
+    # has λ_mid < plane_linearity·λ_max (scan-line stripes whose fitted
+    # normal is rotationally ambiguous; see ops/planes.py).  0 disables.
+    plane_linearity: float = 0.04
+    # beyond-reference query gate: reject matches whose own point-to-plane
+    # distance exceeds this (meters).  Neighbor sets spanning TWO surfaces
+    # (pillar face + wall behind) can form perfectly planar DIAGONAL fits
+    # that pass both residual and planarity gates, yet sit 50-100 mm from
+    # the query's true surface — the query residual is the discriminator
+    # (same idea as FAST-LIO2's s>0.9 match quality gate, but absolute).
+    # 0 disables (reference behavior: query residual enters the solve raw).
+    # NOTE a hard gate can reject the very matches that would correct a
+    # drifting estimate (measured: locks in a velocity deficit on the 20 m/s
+    # straight); prefer `huber_delta` unless the map is trusted (HD-map
+    # prelocalization).
+    QUERY_THRESHOLD: float = 0.0
+    # robust (Huber) IRLS weight on the point-to-plane residuals: matches
+    # with |r| > huber_delta get weight huber_delta/|r| inside the GN normal
+    # equations.  Downweights junction pseudo-plane artifacts (50-100 mm
+    # residuals vs the ~1-30 mm inlier band) without going blind to large
+    # genuine innovations the way a hard gate does.  0 disables (reference
+    # behavior: pure least squares).
+    huber_delta: float = 0.0
 
     # --- LiDAR (main.cpp:151-154) ---
     LiDAR_type: str = "unknown"      # velodyne | hesai | ouster | custom
@@ -152,6 +187,12 @@ class Config:
     covariance_bias_gyroscope: float = 1e-5
     covariance_bias_acceleration: float = 1e-4
 
+    # --- Initial extrinsic covariance (Localizator.cpp:148-156 uses 1e-5:
+    #     a refinement prior that assumes the config extrinsics are nearly
+    #     right).  Raise for online calibration from a coarse guess. ---
+    initial_cov_extrinsic_rot: float = 1e-5
+    initial_cov_extrinsic_trans: float = 1e-5
+
     # --- Velocity multipliers (main.cpp:165-167; unused in ref pipeline) ---
     wx_MULTIPLIER: float = 1.0
     wy_MULTIPLIER: float = 1.0
@@ -167,6 +208,12 @@ class Config:
     # ------------------------------------------------------------------
     # TPU-native knobs (no reference analog)
     # ------------------------------------------------------------------
+    # map lifecycle: forget voxel buckets farther than `map_prune_radius`
+    # meters from the current pose, checked every `map_prune_every` seconds
+    # of data time.  0 = never prune (reference behavior: the ikd-Tree grows
+    # without bound, SURVEY.md §5 long-context row).
+    map_prune_radius: float = 0.0
+    map_prune_every: float = 1.0
     map_voxel_size: float = 0.2      # ikd-Tree downsample resolution (Mapper.cpp:65)
     map_coarse_factor: int = 4       # coarse bucket edge, in fine voxels
     map_table_size: int = 1 << 17    # hash buckets (coarse voxels)

@@ -119,9 +119,17 @@ def _match(
         rings=static_cfg.knn_rings,
         max_buckets=getattr(static_cfg, "knn_max_buckets", None),
     )
-    fit = fit_planes(nb, sq, nb_valid, dyn.MAX_DIST_PLANE, dyn.PLANES_THRESHOLD)
+    fit = fit_planes(nb, sq, nb_valid, dyn.MAX_DIST_PLANE, dyn.PLANES_THRESHOLD,
+                     planarity=getattr(dyn, "plane_planarity", 0.12),
+                     linearity=getattr(dyn, "plane_linearity", 0.04))
     r = point_plane_distance(p_glob, fit)
     valid = fit.valid & mask
+    # query-residual gate (config.QUERY_THRESHOLD, 0 = off): the query must
+    # lie on the fitted plane about as well as the neighbors do, else the
+    # "plane" is a diagonal artifact of a two-surface neighbor set
+    qt = getattr(dyn, "QUERY_THRESHOLD", None)
+    if qt is not None:
+        valid = valid & ((qt <= 0.0) | (jnp.abs(r) < qt))
     return r, fit, valid
 
 
@@ -158,6 +166,19 @@ def iterated_update(
         x, done, it = carry
         r, fit, valid = _match(x, m, pts_lidar, mask, grid, static_cfg, dyn, knn_fn)
         w = valid.astype(dtype)
+        # robust IRLS weight (config.huber_delta, 0 = plain least squares):
+        # |r| beyond delta contributes gradient delta·sign(r) instead of r —
+        # junction pseudo-planes (ops/planes.py) produce 50-100 mm artifacts
+        # against a 1-30 mm inlier band; Huber keeps their influence bounded
+        # while still letting large genuine innovations pull (a hard gate
+        # measurably locks in drift).  Weights recompute every GN iteration.
+        hd = getattr(dyn, "huber_delta", None)
+        if hd is not None:
+            w = w * jnp.where(
+                hd > 0.0,
+                jnp.minimum(1.0, hd / jnp.maximum(jnp.abs(r), 1e-9)),
+                1.0,
+            )
         H = observation_matrix(x, pts_lidar, fit.normal, static_cfg.estimate_extrinsics)
         Hw = H * w[:, None]
 

@@ -51,12 +51,20 @@ def corridor_world(
     width: float = 6.0,
     height: float = 4.0,
     pillar_every: float = 8.0,
+    pillar_inset: float = 1.2,
 ) -> Callable[[np.ndarray, np.ndarray], np.ndarray]:
     """Axis-aligned corridor along +x: floor, ceiling, two walls, end caps,
-    plus wall pillars every `pillar_every` m.  A bare corridor is
-    longitudinally degenerate (nothing constrains x but the far end caps) —
-    the classic LIO failure mode; pillars make x observable like real
-    corridors' doorframes/columns do.  Returns a ray-caster:
+    plus free-standing columns every `pillar_every` m, `pillar_inset` m in
+    from the walls.  A bare corridor is longitudinally degenerate (nothing
+    constrains x but the far end caps) — the classic LIO failure mode;
+    columns make x observable like real corridors' doorframes/columns do.
+
+    Columns are free-standing (inset > pillar halfwidth) rather than flush
+    with the walls: a flush pillar's every x-face point sits within a 5-NN
+    radius of the wall junction, so ALL of the scene's x-information comes
+    from two-surface neighbor sets whose fitted pseudo-planes carry a
+    motion-correlated bias — a degeneracy real corridors don't have (real
+    columns stand clear of walls).  Returns a ray-caster:
     (origins (N,3), dirs (N,3)) → ranges (N,)."""
 
     planes = [
@@ -73,7 +81,7 @@ def corridor_world(
         x = 0.0
         side = 1.0
         while x < length:
-            y = side * (width / 2 - 0.3)
+            y = side * (width / 2 - pillar_inset)
             boxes.append((np.array([x, y, height / 2]), np.array([0.3, 0.3, height / 2])))
             side = -side
             x += pillar_every
@@ -145,16 +153,28 @@ def room_world(size: float = 20.0, height: float = 5.0, n_boxes: int = 8, seed: 
 
 
 class Trajectory:
-    """Smooth analytic trajectory: position + yaw splines with exact
-    derivatives (so IMU measurements are consistent with ground truth)."""
+    """Smooth analytic trajectory: position + yaw (+ optional roll/pitch)
+    splines with exact derivatives (so IMU measurements are consistent with
+    ground truth).
 
-    def __init__(self, pos_fn, yaw_fn, eps: float = 1e-4):
+    `rp_fn(t) → (roll, pitch)`: body roll/pitch on top of yaw — suspension
+    motion.  Extrinsic-translation observability NEEDS it: under yaw-only
+    rotation the z-row of R·t_LI never changes, so t_LI_z is structurally
+    unobservable however long the run (the real car's banking/pitching is
+    what excites it)."""
+
+    def __init__(self, pos_fn, yaw_fn, eps: float = 1e-4, rp_fn=None):
         self.pos_fn = pos_fn
         self.yaw_fn = yaw_fn
         self.eps = eps
+        self.rp_fn = rp_fn
 
     def pose(self, t: float) -> Tuple[np.ndarray, np.ndarray]:
-        R = Rsc.from_euler("z", self.yaw_fn(t)).as_matrix()
+        if self.rp_fn is None:
+            R = Rsc.from_euler("z", self.yaw_fn(t)).as_matrix()
+        else:
+            roll, pitch = self.rp_fn(t)
+            R = Rsc.from_euler("zyx", [self.yaw_fn(t), pitch, roll]).as_matrix()
         return R, self.pos_fn(t)
 
     def vel(self, t: float) -> np.ndarray:
@@ -166,10 +186,11 @@ class Trajectory:
         return (self.pos_fn(t + e) - 2 * self.pos_fn(t) + self.pos_fn(t - e)) / (e * e)
 
     def omega_body(self, t: float) -> np.ndarray:
+        # general body rate from the orientation path: ω = Log(R(t−e)ᵀR(t+e))/2e
         e = self.eps
-        yaw_rate = (self.yaw_fn(t + e) - self.yaw_fn(t - e)) / (2 * e)
-        R, _ = self.pose(t)
-        return R.T @ np.array([0.0, 0.0, yaw_rate])
+        R0, _ = self.pose(t - e)
+        R1, _ = self.pose(t + e)
+        return Rsc.from_matrix(R0.T @ R1).as_rotvec() / (2 * e)
 
 
 def _ramped_distance(t: float, ramp: float, hold: float = 0.0) -> float:
@@ -207,7 +228,11 @@ def corridor_trajectory(speed: float = 5.0, weave: float = 0.5,
 
 
 def circle_trajectory(radius: float = 5.0, omega: float = 0.5,
-                      ramp: float = 0.0, hold: float = 0.0) -> Trajectory:
+                      ramp: float = 0.0, hold: float = 0.0,
+                      sway: float = 0.0) -> Trajectory:
+    """`sway` > 0 adds suspension roll/pitch oscillation (radians) scaled by
+    the ramp progress — the excitation that makes extrinsic translation
+    observable (see Trajectory docstring)."""
     def pos(t):
         s = _ramped_distance(t, ramp, hold)
         return np.array(
@@ -217,7 +242,13 @@ def circle_trajectory(radius: float = 5.0, omega: float = 0.5,
     def yaw(t):
         return omega * _ramped_distance(t, ramp, hold) + np.pi / 2
 
-    return Trajectory(pos, yaw)
+    rp = None
+    if sway > 0.0:
+        def rp(t):
+            s = _ramped_distance(t, ramp, hold)
+            return sway * np.sin(2.3 * s), 0.6 * sway * np.sin(1.7 * s + 0.8)
+
+    return Trajectory(pos, yaw, rp_fn=rp)
 
 
 # ---------------------------------------------------------------------------

@@ -50,10 +50,16 @@ class PlaneFit(NamedTuple):
         return -jnp.sum(self.normal * self.centroid, axis=-1)
 
 
-def _smallest_eigvec_3x3(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _smallest_eigvec_3x3(
+    A: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Eigenvector of the smallest eigenvalue of symmetric (..., 3, 3) A,
-    plus an ok-flag (False where the null-space direction is numerically
-    ambiguous — isotropic or rank-0 scatter; callers gate those out).
+    an ok-flag (False where the null-space direction is numerically
+    ambiguous — isotropic or rank-0 scatter; callers gate those out), and
+    the (λ_min, λ_mid, λ_max) eigenvalues — λ_min/λ_mid is the planarity of
+    the neighbor set (≈0 for a true plane, O(1) for corners/edges) and
+    λ_mid/λ_max its 2D spread (≈0 for a scan-line stripe), used by the
+    junction and collinearity gates in `fit_planes`.
 
     Analytic: trig solution of the characteristic cubic (Smith's algorithm),
     then the eigenvector as the largest cross product of rows of (A − λI).
@@ -73,8 +79,11 @@ def _smallest_eigvec_3x3(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     detC = jnp.linalg.det(C)
     r = jnp.clip(detC / 2.0, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
-    # eigenvalues: λ_max = q + 2p cos(φ); λ_min = q + 2p cos(φ + 2π/3)
+    # eigenvalues: λ_max = q + 2p cos(φ); λ_min = q + 2p cos(φ + 2π/3);
+    # λ_mid = trace − λ_max − λ_min
+    lam_max = q + 2.0 * p * jnp.cos(phi)
     lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = 3.0 * q - lam_max - lam_min
 
     # null-space direction of (B − λ_min I): rows span the orthogonal plane
     M = B - lam_min[..., None, None] * jnp.eye(3, dtype=dtype)
@@ -93,21 +102,38 @@ def _smallest_eigvec_3x3(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     nbest = jnp.sqrt(jnp.maximum(jnp.maximum(n01, n12), n02))
     ok = (nbest > 1e-12) & (p > 1e-20)
     v = best / jnp.where(nbest > 1e-12, nbest, 1.0)[..., None]
-    return v, ok
+    s = scale[..., 0, 0]
+    return v, ok, lam_min * s, lam_mid * s, lam_max * s
 
 
 def fit_planes(
-    neighbors: jnp.ndarray,    # (N, k, 3)
-    sq_dists: jnp.ndarray,     # (N, k) ascending
-    nb_valid: jnp.ndarray,     # (N, k)
-    max_dist_plane: float,
-    planes_threshold: float,
+    neighbors: jnp.ndarray,
+    sq_dists: jnp.ndarray,
+    nb_valid: jnp.ndarray,
+    max_dist_plane,
+    planes_threshold,
+    planarity=0.12,
+    linearity=0.04,
 ) -> PlaneFit:
-    """Fit a plane to each point's k neighbors and apply the reference gates:
+    """Fit a plane to each point's k neighbors (shapes: neighbors (N,k,3),
+    sq_dists (N,k) ascending, nb_valid (N,k)) and apply the gates:
 
     1. ≥ k neighbors found             (Plane::enough_points, Plane.cpp:36-38)
     2. farthest sq dist < MAX_DIST_PLANE²  (points_close_enough, :40-43)
     3. every |residual| < PLANES_THRESHOLD (R3Math::is_plane, Utils.cpp:59-66)
+    4. λ_min ≤ planarity·λ_mid of the neighbor scatter — beyond-reference
+       junction gate, free from the TLS eigensolve.  Neighbor sets straddling
+       two surfaces (wall/floor corners, pillar edges) can pass gate 3's
+       absolute threshold yet fit a tilted pseudo-plane whose residual sign
+       tracks the motion direction — measured as a +4 mm/window systematic
+       pull on the 20 m/s straight.  True planar sets have λ_min/λ_mid ≈
+       (noise/spread)² ≪ 0.1; corner sets are O(1).
+    5. λ_mid ≥ linearity·λ_max — beyond-reference collinearity gate.  A
+       spinning LiDAR paints walls in horizontal beam stripes; before the
+       map fills in, a 5-NN set often lies on ONE stripe (λ_min ≈ λ_mid ≈ 0):
+       the fitted plane is free to rotate about the stripe, so its normal —
+       and the residual it induces — is arbitrary.  Well-spread 2D sets have
+       λ_mid/λ_max ≈ 0.1–1; stripe sets ≈ (transverse/along)² ≲ 0.01.
     """
     dtype = neighbors.dtype
 
@@ -123,7 +149,7 @@ def fit_planes(
     delta = jnp.where(nb_valid[..., None], neighbors - centroid[:, None, :], 0.0)
     AtA = jnp.einsum("nki,nkj->nij", delta, delta)            # (N,3,3)
 
-    normal, ok = _smallest_eigvec_3x3(AtA)
+    normal, ok, lam_min, lam_mid, lam_max_out = _smallest_eigvec_3x3(AtA)
 
     # deterministic sign: +z hemisphere (ties → +y, then +x).  Sign is
     # irrelevant to the update (r and H flip together); determinism keeps
@@ -145,8 +171,10 @@ def fit_planes(
         jnp.where(nb_valid, jnp.abs(res), 0.0) < planes_threshold, axis=-1
     )
 
+    planar = lam_min <= planarity * jnp.maximum(lam_mid, 1e-12)
+    spread2d = lam_mid >= linearity * lam_max_out
     finite = jnp.all(jnp.isfinite(normal), axis=-1)
-    valid = enough & close & flat & finite & ok
+    valid = enough & close & flat & finite & ok & planar & spread2d
     # zero out invalid rows: degenerate solves can produce junk directions,
     # and a later `H * mask` would still propagate NaNs (NaN·0 = NaN)
     normal = jnp.where(valid[..., None], normal, 0.0)

