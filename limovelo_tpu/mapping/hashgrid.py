@@ -286,7 +286,11 @@ def prune(m: HashGridMap, center: jnp.ndarray, radius, params: GridParams) -> Ha
     long-context row).  One elementwise pass over the table; no rebuild.
     """
     centers = (m.keys.astype(m.pts.dtype) + 0.5) * params.coarse_size
-    occupied_bucket = jnp.any(m.keys != EMPTY_KEY, axis=-1)
+    # live buckets only: already-tombstoned buckets must NOT be re-pruned
+    # (they'd be re-subtracted from num_buckets on every call)
+    occupied_bucket = jnp.any(m.keys != EMPTY_KEY, axis=-1) & jnp.any(
+        m.keys != TOMBSTONE_KEY, axis=-1
+    )
     far = occupied_bucket & (
         jnp.linalg.norm(centers - center[None, :], axis=-1) > radius
     )

@@ -128,6 +128,15 @@ class Accumulator:
         hi = np.searchsorted(ts, t, side="right")
         return (hi - lo) < 2
 
+    def newest_data_time(self) -> float:
+        """Newest stamp across both streams — the 'now' the stream-death
+        detector is evaluated against (points keep arriving after the IMU
+        dies, so IMU-only time would never notice)."""
+        t = self._imu_t[-1] if self._imu_t else -np.inf
+        if self._pts_t and len(self._pts_t[-1]):
+            t = max(t, float(self._pts_t[-1][-1]))
+        return t
+
     def update_delta(self, t: float) -> float:
         if self.missing_point_times:
             return self.config.full_rotation_time

@@ -23,7 +23,7 @@ from ..deskew.compensate import build_path, compensate
 from ..config import DynParams
 from ..filter.process import ImuWindow, process_noise_Q
 from ..geometry import state as st
-from ..mapping import GridParams, insert, make_map
+from ..mapping import GridParams, insert, make_map, prune
 from ..ops.voxel import voxel_downsample
 from ..step import StepInputs, lio_step, lio_step_packed, mapping_step, pack_host_inputs
 from .accumulator import Accumulator
@@ -100,6 +100,8 @@ class LioPipeline:
         self.last_map_time: Optional[float] = None         # Mapper::hasToMap
         # recent corrected states (BUFFER_X analog) for offline-mode re-deskew
         self._anchors: List[tuple] = []
+        self._last_prune_t: Optional[float] = None
+        self.stream_dead = False   # set when the sensor stream dies (ended())
         self._last_processed_t2: float = -np.inf
         self._pending = None   # in-flight step awaiting host bookkeeping
 
@@ -145,7 +147,7 @@ class LioPipeline:
         if imu0.q is not None:
             R0 = Rsc.from_quat(imu0.q).as_matrix()
         self.x = st.make_initial(self.config, R0=R0)
-        self.P = st.initial_covariance()
+        self.P = st.initial_covariance(self.config)
         self.map = getattr(self, "_preloaded_map", None)
         if self.map is None:
             self.map = make_map(self.grid)
@@ -295,6 +297,19 @@ class LioPipeline:
             self._anchors = [a for a in self._anchors if a[0] >= horizon] or self._anchors[-1:]
             if self.last_map_time is None:
                 self.last_map_time = t2
+
+        # map lifecycle: forget buckets beyond map_prune_radius of the pose
+        # (bounded memory on long trajectories — the reference never does
+        # this and grows without bound, SURVEY.md §5 long-context row)
+        if cfg.map_prune_radius > 0 and updated:
+            if self._last_prune_t is None:
+                self._last_prune_t = t2
+            elif t2 - self._last_prune_t >= cfg.map_prune_every:
+                self.map = prune(
+                    self.map, jnp.asarray(p_h, jnp.float32),
+                    jnp.float32(cfg.map_prune_radius), self.grid,
+                )
+                self._last_prune_t = t2
 
         # Step 2 (offline mode): map every full rotation with final states
         # (main.cpp:107-117, Mapper::hasToMap).  Mode "none" (frozen HD map)
@@ -448,6 +463,22 @@ class LioPipeline:
         self._resolve_pending()
         if not self.accum.ready():
             return False
+        # stream-death detector (Accumulator::ended, Accumulator.cpp:117-122
+        # — defined but never consumed by the reference loop; here it
+        # terminates cleanly instead of spinning forever on a dead feed)
+        if self.accum.ended(self.accum.newest_data_time()):
+            if not self.stream_dead:
+                self.stream_dead = True
+                import logging
+
+                logging.getLogger(__name__).error(
+                    "Sensor stream appears dead (<2 IMUs in the last 3 s); "
+                    "stopping the localization loop."
+                )
+                self.flush()
+            return False
+        elif self.stream_dead:
+            self.stream_dead = False   # stream recovered
         if not self._initialized:
             self._initialize()
 

@@ -150,3 +150,33 @@ class TestDetectors:
         acc.ready()
         assert acc.update_delta(10.0) == config.full_rotation_time
         assert config.Initialization.deltas[-1] != config.full_rotation_time
+
+
+@pytest.mark.slow
+class TestStreamDeathConsumed:
+    def test_spin_stops_on_dead_stream(self):
+        """`ended()` is WIRED into the loop (unlike the reference, where
+        Accumulator::ended is dead code, Accumulator.cpp:117-122): when the
+        sensor stream dies, spin() stops cleanly instead of spinning on the
+        stale buffers forever, and flags `stream_dead`."""
+        cfg = _config(real_time=True)
+        sim = _static_sim(cfg, duration=4.0)
+        pipe = LioPipeline(cfg, grid=GridParams(table_size=1 << 14,
+                                                coarse_factor=4,
+                                                voxel_size=0.2,
+                                                probe_length=8))
+        # feed only the first 0.8 s of IMU, then ALL remaining scans with no
+        # IMU — the stream is dead from the estimator's point of view
+        cut = 0.8
+        ii = 0
+        for scan in sim.scans:
+            scan_end = scan.t[-1] if len(scan.t) else scan.stamp
+            while ii < len(sim.imu_t) and sim.imu_t[ii] <= scan_end:
+                if sim.imu_t[ii] <= cut:
+                    pipe.add_imu(sim.imu_t[ii], sim.imu_a[ii], sim.imu_w[ii])
+                ii += 1
+            pipe.add_scan(scan.pts, scan.t)
+            pipe.spin()
+        steps = pipe.spin()
+        assert pipe.stream_dead, "dead stream never detected"
+        assert steps == 0, "spin kept processing a dead stream"

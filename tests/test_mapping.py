@@ -166,3 +166,55 @@ class TestKNN:
         queries = np.full((4, 3), 50.0, np.float32)
         _, _, valid = knn(m, jnp.asarray(queries), GRID, k=5)
         assert not np.asarray(valid).any()
+
+
+@pytest.mark.slow
+class TestPrunePolicy:
+    def test_pipeline_prune_bounds_map(self):
+        """map_prune_radius wired into the pipeline: a long corridor run
+        keeps `num_buckets` bounded instead of growing with distance
+        traveled (SURVEY.md §5 long-context row — the reference's ikd-Tree
+        grows without bound)."""
+        from limovelo_tpu import Config
+        from limovelo_tpu.io.simulate import (corridor_trajectory,
+                                              corridor_world, replay_into,
+                                              simulate)
+        from limovelo_tpu.runtime.pipeline import LioPipeline
+
+        base = dict(
+            real_time=False, mapping_online=True, min_dist=0.5,
+            downsample_prec=0.3, full_rotation_time=0.1, imu_rate=200.0,
+            real_time_delay=0.1, empty_lidar_time=0.5,
+            degeneracy_threshold=0.0,
+            point_buckets=(2048, 4096, 8192), ds_buckets=(1024, 2048),
+            imu_buckets=(64,), map_table_size=1 << 16,
+        )
+        cfg = Config(**base)
+        grid = GridParams(table_size=1 << 16, coarse_factor=4,
+                          voxel_size=0.2, probe_length=8)
+        traj = corridor_trajectory(speed=8.0)
+        world = corridor_world(length=120.0, width=8.0, pillar_every=6.0)
+        sim = simulate(world, traj, cfg, duration=10.0, lidar_lines=8,
+                       pts_per_line=128, imu_rate=200.0, seed=13,
+                       max_range=40.0)
+
+        buckets = {}
+        for radius in (0.0, 25.0):
+            pipe = LioPipeline(cfg.replace(map_prune_radius=radius,
+                                           map_prune_every=0.5), grid=grid)
+            replay_into(pipe, sim)
+            pipe.flush()
+            recs = pipe.result.records
+            assert len(recs) > 40
+            buckets[radius] = np.array([r.map_buckets for r in recs])
+
+        unbounded = buckets[0.0]
+        bounded = buckets[25.0]
+        # unbounded grows monotonically with distance; bounded plateaus
+        assert unbounded[-1] > 1.5 * bounded[-1], (
+            f"prune had no effect: {unbounded[-1]} vs {bounded[-1]} buckets"
+        )
+        tail = bounded[len(bounded) // 2:]
+        assert tail.max() < 1.3 * tail.min() + 50, (
+            "pruned map still grows on the tail of the run"
+        )
