@@ -67,27 +67,71 @@ def load_map(path: str, grid: GridParams, batch: int = 16384) -> HashGridMap:
     return m
 
 
+def _nav_to_host(x: NavState, prefix: str) -> dict:
+    return {
+        prefix + "R": np.asarray(x.R), prefix + "p": np.asarray(x.p),
+        prefix + "v": np.asarray(x.v), prefix + "bg": np.asarray(x.bg),
+        prefix + "ba": np.asarray(x.ba), prefix + "g": np.asarray(x.g),
+        prefix + "R_LI": np.asarray(x.R_LI), prefix + "t_LI": np.asarray(x.t_LI),
+    }
+
+
 def save_checkpoint(path: str, pipe):
-    """Serialize full pipeline state for exact resume."""
+    """Serialize full pipeline state for exact resume: filter, map, time
+    bookkeeping, the corrected-state history (`_anchors` — the BUFFER_X
+    analog the offline re-deskew needs), mapping cadence, AND the
+    accumulator tail (buffered points/IMUs the next windows will consume).
+    Resume-equivalence is regression-tested: checkpoint→load mid-run must
+    reproduce the uninterrupted trajectory (tests/test_slam.py)."""
     if hasattr(pipe, "flush"):
         pipe.flush()   # resolve any in-flight step's bookkeeping first
     x: NavState = pipe.x
+
+    # corrected-state history (pipeline._anchors): stack into arrays
+    anc = getattr(pipe, "_anchors", [])
+    K = len(anc)
+    anc_arrays = {}
+    if K:
+        anc_arrays["anchors_t"] = np.array([a[0] for a in anc], np.float64)
+        fields = ("R", "p", "v", "bg", "ba", "g", "R_LI", "t_LI")
+        for fi, name in enumerate(fields):
+            anc_arrays["anchors_" + name] = np.stack(
+                [np.asarray(getattr(a[1], name)) for a in anc]
+            )
+        anc_arrays["anchors_a"] = np.stack([np.asarray(a[2]) for a in anc])
+        anc_arrays["anchors_w"] = np.stack([np.asarray(a[3]) for a in anc])
+
+    # accumulator tail (post-GC contents — exactly what a live run holds)
+    acc = pipe.accum
+    acc_arrays = {}
+    if acc._imu_t:
+        acc_arrays["acc_imu_t"] = np.asarray(acc._imu_t, np.float64)
+        acc_arrays["acc_imu_a"] = np.stack(acc._imu_a)
+        acc_arrays["acc_imu_w"] = np.stack(acc._imu_w)
+        acc_arrays["acc_imu_q"] = np.stack([
+            q if q is not None else np.full(4, np.nan) for q in acc._imu_q
+        ])
+    if acc._pts:
+        acc_arrays["acc_pts"] = np.concatenate(acc._pts)
+        acc_arrays["acc_pts_t"] = np.concatenate(acc._pts_t)
+
     np.savez_compressed(
         path,
-        # filter
-        R=np.asarray(x.R), p=np.asarray(x.p), v=np.asarray(x.v),
-        bg=np.asarray(x.bg), ba=np.asarray(x.ba), g=np.asarray(x.g),
-        R_LI=np.asarray(x.R_LI), t_LI=np.asarray(x.t_LI),
+        **_nav_to_host(x, ""),
         P=np.asarray(pipe.P),
-        # anchor
-        aR=np.asarray(pipe.anchor.R), ap=np.asarray(pipe.anchor.p),
-        av=np.asarray(pipe.anchor.v), abg=np.asarray(pipe.anchor.bg),
-        aba=np.asarray(pipe.anchor.ba), ag=np.asarray(pipe.anchor.g),
-        aR_LI=np.asarray(pipe.anchor.R_LI), at_LI=np.asarray(pipe.anchor.t_LI),
-        # times
+        **_nav_to_host(pipe.anchor, "a"),
+        # times + cadence
         t2=pipe.t2, last_updated=pipe.last_time_updated,
         last_integrated=pipe.last_time_integrated, anchor_t=pipe.anchor_t,
         initial_time=pipe.accum.initial_time,
+        last_map_time=(np.nan if pipe.last_map_time is None
+                       else pipe.last_map_time),
+        last_processed_t2=pipe._last_processed_t2,
+        last_prune_t=(np.nan if getattr(pipe, "_last_prune_t", None) is None
+                      else pipe._last_prune_t),
+        missing_point_times=acc.missing_point_times,
+        **anc_arrays,
+        **acc_arrays,
         # map
         **{f"map_{k}": v for k, v in _map_to_host(pipe.map).items()},
     )
@@ -125,3 +169,43 @@ def load_checkpoint(path: str, pipe) -> None:
     pipe.accum.initial_time = float(d["initial_time"])
     pipe.accum._ready = True
     pipe._initialized = True
+
+    # cadence / bookkeeping (older checkpoints: sane fallbacks)
+    if "last_map_time" in d:
+        v = float(d["last_map_time"])
+        pipe.last_map_time = None if np.isnan(v) else v
+    if "last_processed_t2" in d:
+        pipe._last_processed_t2 = float(d["last_processed_t2"])
+    if "last_prune_t" in d:
+        v = float(d["last_prune_t"])
+        pipe._last_prune_t = None if np.isnan(v) else v
+    if "missing_point_times" in d:
+        pipe.accum.missing_point_times = bool(d["missing_point_times"])
+
+    # corrected-state history (BUFFER_X analog for offline re-deskew)
+    if "anchors_t" in d:
+        ts = np.asarray(d["anchors_t"])
+        fields = ("R", "p", "v", "bg", "ba", "g", "R_LI", "t_LI")
+        pipe._anchors = [
+            (
+                float(ts[i]),
+                NavState(*(jnp.asarray(d["anchors_" + f][i]) for f in fields)),
+                np.asarray(d["anchors_a"][i]),
+                np.asarray(d["anchors_w"][i]),
+            )
+            for i in range(len(ts))
+        ]
+
+    # accumulator tail — the buffered sensors the next windows consume
+    if "acc_imu_t" in d:
+        acc = pipe.accum
+        acc._imu_t = [float(t) for t in np.asarray(d["acc_imu_t"])]
+        acc._imu_a = list(np.asarray(d["acc_imu_a"], np.float32))
+        acc._imu_w = list(np.asarray(d["acc_imu_w"], np.float32))
+        acc._imu_q = [
+            None if np.any(np.isnan(q)) else np.asarray(q, np.float64)
+            for q in np.asarray(d["acc_imu_q"])
+        ]
+    if "acc_pts" in d:
+        pipe.accum._pts = [np.asarray(d["acc_pts"], np.float32)]
+        pipe.accum._pts_t = [np.asarray(d["acc_pts_t"], np.float64)]
