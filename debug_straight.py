@@ -46,8 +46,12 @@ cfg = racing_cfg(**kw)
 hold = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
 traj = corridor_trajectory(speed=20.0, weave=0.3, ramp=ramp, hold=hold)
 world = corridor_world(length=180.0, width=8.0, pillar_every=6.0)
+ppl = int(kw.pop("_ppl", 200)) if "_ppl" in kw else 200
+for tok in extra.split(","):
+    if tok.startswith("ppl="):
+        ppl = int(tok[4:])
 sim = simulate(world, traj, cfg, duration=duration, lidar_lines=12,
-               pts_per_line=200, imu_rate=400.0, seed=21,
+               pts_per_line=ppl, imu_rate=400.0, seed=int(os.environ.get("SEED", 21)),
                range_noise=0.01 * noise, accel_noise=0.02 * noise,
                gyro_noise=0.002 * noise)
 

@@ -177,6 +177,10 @@ def main(argv=None):
     sp.add_argument("--duration", type=float, default=10.0)
     sp.add_argument("--speed", type=float, default=5.0)
 
+    sp = sub.add_parser("eval", help="regenerate EVAL.md (accuracy battery)")
+    sp.add_argument("--out", default="EVAL.md")
+    sp.add_argument("--fast", action="store_true", help="shorter durations")
+
     sp = sub.add_parser("viz", help="visualization tools (no device needed)")
     viz_sub = sp.add_subparsers(dest="viz_cmd", required=True)
     vp = viz_sub.add_parser("rviz", help="generate an rviz profile")
@@ -192,6 +196,13 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.cmd == "viz":
         return _viz_main(args)
+    if args.cmd == "eval":
+        from limovelo_tpu.runtime.evalsuite import run_eval, write_eval_md
+
+        rows = run_eval(fast=args.fast)
+        print(write_eval_md(rows, args.out))
+        print(f"table → {args.out}")
+        return
     # resolve the FULL config (per-command default profile + CLI overrides +
     # sim-mode tweaks) before the pipeline is constructed — the pipeline
     # freezes extrinsics/gravity/buckets at build time

