@@ -96,6 +96,8 @@ def write_kitti_drive(
         for i, scan in enumerate(sim.scans):
             pts4 = np.zeros((len(scan.pts), 4), np.float32)
             pts4[:, :3] = scan.pts
+            if scan.intensity is not None:
+                pts4[:, 3] = scan.intensity   # KITTI reflectance column
             pts4.tofile(os.path.join(velo, "data", f"{i:010d}.bin"))
             f_s.write(_fmt_kitti_stamp(scan.stamp) + "\n")
             f_mid.write(_fmt_kitti_stamp(scan.stamp + rot / 2) + "\n")
@@ -152,7 +154,8 @@ def _ros_string(s: str) -> bytes:
 
 
 def serialize_pointcloud2(stamp: float, xyz: np.ndarray, time_rel: np.ndarray,
-                          seq: int, frame_id: str = "velodyne") -> bytes:
+                          seq: int, frame_id: str = "velodyne",
+                          intensity: np.ndarray = None) -> bytes:
     """sensor_msgs/PointCloud2 with x,y,z,intensity,time float32 fields
     (the velodyne driver layout)."""
     n = len(xyz)
@@ -166,6 +169,8 @@ def serialize_pointcloud2(stamp: float, xyz: np.ndarray, time_rel: np.ndarray,
     point_step = 20
     data = np.zeros((n, 5), np.float32)
     data[:, :3] = xyz
+    if intensity is not None:
+        data[:, 3] = intensity
     data[:, 4] = time_rel
     raw = data.tobytes()
     body += struct.pack("<B", 0)                # is_bigendian
@@ -217,7 +222,7 @@ def write_rosbag(
             rel = rel - rot                      # driver measures from the end
         span = float(rel[-1] - rel[0])
         stamp = t0 if config.stamp_beginning else t0 + span
-        events.append((stamp, "pc", (stamp, scan.pts, rel)))
+        events.append((stamp, "pc", (stamp, scan.pts, rel, scan.intensity)))
     # orientation from ground truth (nearest dense sample) — the reference's
     # IMUs carry a quaternion the pipeline seeds its initial attitude from
     for i, t in enumerate(sim.imu_t):
@@ -266,8 +271,9 @@ def write_rosbag(
                 chunk += conn_pc + conn_imu
             for t, kind, payload in events[start:start + chunk_msgs]:
                 if kind == "pc":
-                    stamp, pts, rel = payload
-                    raw = serialize_pointcloud2(stamp, pts, rel, seq)
+                    stamp, pts, rel, inten = payload
+                    raw = serialize_pointcloud2(stamp, pts, rel, seq,
+                                                intensity=inten)
                     cid = 0
                 else:
                     stamp, q, w, a = payload

@@ -96,8 +96,8 @@ class KittiRawReader:
                 w=np.asarray(v[17:20], np.float32),
             )
 
-    def scans(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
-        """Yields (pts (N,3) f32, t_abs (N,) f64, stamp)."""
+    def scans(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float, np.ndarray]]:
+        """Yields (pts (N,3) f32, t_abs (N,) f64, stamp, reflectance (N,))."""
         for i, f in enumerate(self.velo_files):
             raw = np.fromfile(f, np.float32).reshape(-1, 4)
             pts = raw[:, :3]
@@ -119,7 +119,7 @@ class KittiRawReader:
             az = -np.arctan2(pts[:, 1].astype(np.float64), pts[:, 0].astype(np.float64))
             frac = (az - az.min()) / max(az.max() - az.min(), 1e-9)
             t_abs = t0 + frac * (t1 - t0)
-            yield pts, t_abs, float(self.velo_t[i])
+            yield pts, t_abs, float(self.velo_t[i]), raw[:, 3]
 
 
 def feed_pipeline(pipe, reader: KittiRawReader, config, max_scans: Optional[int] = None):
@@ -133,14 +133,16 @@ def feed_pipeline(pipe, reader: KittiRawReader, config, max_scans: Optional[int]
     scan_it = reader.scans()
     imu_next = next(imu_it, None)
     n_scans = 0
-    for pts, t_abs, stamp in scan_it:
+    for pts, t_abs, stamp, refl in scan_it:
         while imu_next is not None and imu_next.t <= stamp + 0.2:
             q = Rsc.from_euler("xyz", [imu_next.roll, imu_next.pitch, imu_next.yaw]).as_quat()
             pipe.add_imu(imu_next.t, imu_next.a, imu_next.w, q=q)
             imu_next = next(imu_it, None)
-        # hesai-style: t_abs is already absolute → bypass relative rebasing
-        p, t = decode_scan(config, pts, stamp, time_field=t_abs, lidar_type="hesai")
-        pipe.add_scan(p, t)
+        # hesai-style: t_abs is already absolute → bypass relative rebasing;
+        # the 4th velodyne .bin float is the reflectance channel
+        p, t, inten = decode_scan(config, pts, stamp, time_field=t_abs,
+                                  lidar_type="hesai", intensity=refl)
+        pipe.add_scan(p, t, intensity=inten)
         pipe.spin()
         n_scans += 1
         if max_scans is not None and n_scans >= max_scans:

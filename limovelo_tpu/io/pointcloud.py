@@ -36,13 +36,19 @@ def decode_scan(
     header_stamp: float,
     time_field: Optional[np.ndarray] = None,
     lidar_type: Optional[str] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode one scan → (pts (N,3) f32, t (N,) f64 absolute), processed.
+    intensity: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, ...]:
+    """Decode one scan → (pts (N,3) f32, t (N,) f64 absolute[, intensity]),
+    processed.
 
     `time_field` carries the vendor per-point time: relative seconds
     (velodyne), relative nanoseconds (ouster), absolute seconds (hesai/
     custom), or None (no per-point time → all stamps = header stamp, which
-    triggers the runtime's missing-time fallback)."""
+    triggers the runtime's missing-time fallback).
+
+    `intensity` (velodyne/hesai `intensity`, ouster `reflectivity` —
+    Point.cpp:172-175) rides through the filter/sort; when given, a 3-tuple
+    is returned."""
     lidar_type = (lidar_type or config.LiDAR_type).lower()
     xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
     n = len(xyz)
@@ -68,7 +74,8 @@ def decode_scan(
     # host library (PointCloudProcessor.cpp:101-123 semantics)
     from ..native import process_scan
 
-    return process_scan(xyz, t_abs, config.downsample_rate, config.min_dist)
+    return process_scan(xyz, t_abs, config.downsample_rate, config.min_dist,
+                        intensity=intensity)
 
 
 def _rebase_relative(config, rel: np.ndarray, header_stamp: float) -> np.ndarray:

@@ -232,8 +232,20 @@ def feed_pipeline(pipe, bag_path: str, config, max_msgs: Optional[int] = None):
                 if cand in fields:
                     tf = fields[cand]
                     break
-            pts, ts = decode_scan(config, xyz, stamp, time_field=tf)
-            pipe.add_scan(pts, ts)
+            # intensity channel: velodyne/hesai `intensity`, ouster
+            # `reflectivity` (Point.cpp:172-175)
+            inten = None
+            for cand in ("intensity", "reflectivity"):
+                if cand in fields:
+                    inten = fields[cand]
+                    break
+            if inten is not None:
+                pts, ts, ii = decode_scan(config, xyz, stamp, time_field=tf,
+                                          intensity=inten)
+                pipe.add_scan(pts, ts, intensity=ii)
+            else:
+                pts, ts = decode_scan(config, xyz, stamp, time_field=tf)
+                pipe.add_scan(pts, ts)
             pipe.spin()
         count += 1
         if max_msgs is not None and count >= max_msgs:

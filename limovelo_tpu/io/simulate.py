@@ -28,6 +28,7 @@ class SimScan:
     pts: np.ndarray      # (N,3) float32, LiDAR frame at each point's own time
     t: np.ndarray        # (N,) float64 absolute
     stamp: float         # scan header stamp (beginning of rotation)
+    intensity: np.ndarray = None  # (N,) float32 per-point return intensity
 
 
 @dataclass
@@ -323,7 +324,7 @@ def simulate(
             ],
             axis=-1,
         )  # (cols, lines, 3) in LiDAR frame
-        pts_list, t_list = [], []
+        pts_list, t_list, i_list = [], [], []
         for ci in range(cols):
             R_b, p_b = traj.pose(col_t[ci])
             R_wl = R_b @ R_LI
@@ -334,11 +335,15 @@ def simulate(
             r = ranges[ok] + rng.normal(size=ok.sum()) * range_noise
             pts_list.append((dirs_l[ci][ok] * r[:, None]).astype(np.float32))
             t_list.append(np.full(ok.sum(), col_t[ci]))
+            # deterministic per-return intensity (1/r² falloff, arbitrary
+            # albedo scale) — exercises the intensity channel end to end
+            i_list.append((100.0 / np.maximum(r, 1.0) ** 2).astype(np.float32))
         scans.append(
             SimScan(
                 pts=np.concatenate(pts_list, axis=0),
                 t=np.concatenate(t_list, axis=0),
                 stamp=t0,
+                intensity=np.concatenate(i_list, axis=0),
             )
         )
 
@@ -378,7 +383,7 @@ def replay_into(pipe, sim: SimData, spin_every_imu: bool = False) -> None:
             if spin_every_imu:
                 pipe.spin()
             ii += 1
-        pipe.add_scan(scan.pts, scan.t)
+        pipe.add_scan(scan.pts, scan.t, intensity=scan.intensity)
         pipe.spin()
     while ii < m:
         pipe.add_imu(sim.imu_t[ii], sim.imu_a[ii], sim.imu_w[ii])

@@ -46,6 +46,8 @@ def get_lib():
         lib.pc2_extract_field.restype = ctypes.c_int
         lib.pc2_extract_field_f64.restype = ctypes.c_int
         lib.process_scan.restype = ctypes.c_int64
+        if hasattr(lib, "process_scan_idx"):
+            lib.process_scan_idx.restype = ctypes.c_int64
         lib.time_window.restype = None
         lib.stage_window.restype = None
         _lib = lib
@@ -58,13 +60,18 @@ def _ptr(a, t):
     return a.ctypes.data_as(ctypes.POINTER(t))
 
 
-def process_scan(xyz: np.ndarray, t: np.ndarray, downsample_rate: int, min_dist: float):
-    """Fused temporal-downsample + min-range filter + time sort."""
+def process_scan(xyz: np.ndarray, t: np.ndarray, downsample_rate: int, min_dist: float,
+                 intensity: np.ndarray | None = None):
+    """Fused temporal-downsample + min-range filter + time sort.
+
+    With `intensity` (N,), the per-point channel rides along (the reference
+    Point carries intensity end to end, Point.cpp:172-175) and a 3-tuple is
+    returned."""
     xyz = np.ascontiguousarray(xyz, np.float32)
     t = np.ascontiguousarray(t, np.float64)
     n = len(xyz)
     lib = get_lib()
-    if lib:
+    if lib and intensity is None:
         xyz_out = np.empty_like(xyz)
         t_out = np.empty_like(t)
         m = lib.process_scan(
@@ -74,14 +81,29 @@ def process_scan(xyz: np.ndarray, t: np.ndarray, downsample_rate: int, min_dist:
             _ptr(xyz_out, ctypes.c_float), _ptr(t_out, ctypes.c_double),
         )
         return xyz_out[:m].copy(), t_out[:m].copy()
+    if lib and hasattr(lib, "process_scan_idx"):
+        xyz_out = np.empty_like(xyz)
+        t_out = np.empty_like(t)
+        idx_out = np.empty(n, np.int64)
+        m = lib.process_scan_idx(
+            _ptr(xyz, ctypes.c_float), _ptr(t, ctypes.c_double),
+            ctypes.c_int64(n), ctypes.c_int32(downsample_rate),
+            ctypes.c_double(min_dist),
+            _ptr(xyz_out, ctypes.c_float), _ptr(t_out, ctypes.c_double),
+            _ptr(idx_out, ctypes.c_int64),
+        )
+        inten = np.ascontiguousarray(intensity, np.float32)[idx_out[:m]].copy()
+        return xyz_out[:m].copy(), t_out[:m].copy(), inten
     # numpy fallback (identical semantics)
     counter = np.arange(1, n + 1)
     keep = np.ones(n, bool) if downsample_rate <= 1 else (counter % downsample_rate) == 0
     keep &= np.isfinite(xyz).all(axis=1)
     keep &= (xyz.astype(np.float64) ** 2).sum(1) > min_dist * min_dist
-    xyz, t = xyz[keep], t[keep]
-    order = np.argsort(t, kind="stable")
-    return xyz[order], t[order]
+    idx = np.nonzero(keep)[0]
+    order = idx[np.argsort(t[idx], kind="stable")]
+    if intensity is None:
+        return xyz[order], t[order]
+    return xyz[order], t[order], np.asarray(intensity, np.float32)[order]
 
 
 def extract_field(data: bytes, n: int, point_step: int, offset: int, datatype: int,

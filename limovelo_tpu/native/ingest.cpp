@@ -135,6 +135,39 @@ int64_t process_scan(const float* xyz, const double* t, int64_t n,
   return m;
 }
 
+// Same as process_scan but also records each survivor's ORIGINAL index so
+// the caller can gather side channels (intensity/reflectivity) without a
+// second pass (Point.cpp:172-175 carries intensity through the pipeline).
+int64_t process_scan_idx(const float* xyz, const double* t, int64_t n,
+                         int32_t downsample_rate, double min_dist,
+                         float* xyz_out, double* t_out, int64_t* idx_out) {
+  std::vector<int64_t> keep;
+  keep.reserve(n);
+  const double md2 = min_dist * min_dist;
+  int64_t counter = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    ++counter;
+    if (downsample_rate > 1 && (counter % downsample_rate) != 0) continue;
+    const float x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
+    if (!std::isfinite(x) || !std::isfinite(y) || !std::isfinite(z)) continue;
+    const double r2 = double(x) * x + double(y) * y + double(z) * z;
+    if (r2 <= md2) continue;
+    keep.push_back(i);
+  }
+  std::stable_sort(keep.begin(), keep.end(),
+                   [&](int64_t a, int64_t b) { return t[a] < t[b]; });
+  const int64_t m = static_cast<int64_t>(keep.size());
+  for (int64_t j = 0; j < m; ++j) {
+    const int64_t i = keep[j];
+    xyz_out[3 * j] = xyz[3 * i];
+    xyz_out[3 * j + 1] = xyz[3 * i + 1];
+    xyz_out[3 * j + 2] = xyz[3 * i + 2];
+    t_out[j] = t[i];
+    idx_out[j] = i;
+  }
+  return m;
+}
+
 // ---------------------------------------------------------------------------
 // window extraction over a sorted time array: indices with t in (t1, t2].
 // Returns (lo, hi) half-open range via out params (binary search,

@@ -32,6 +32,9 @@ class Downsampled(NamedTuple):
     pts: jnp.ndarray    # (N, 3) — valid prefix, zeros after
     mask: jnp.ndarray   # (N,)
     count: jnp.ndarray  # ()
+    idx: jnp.ndarray    # (N,) int32 — ORIGINAL input index of each output
+                        #   row (valid prefix; 0 after) so per-point side
+                        #   channels (intensity) can be gathered on host
 
 
 def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> Downsampled:
@@ -69,8 +72,11 @@ def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> Downsa
     pos = jnp.arange(N)
     # deterministic tie-break: lowest sorted index among the minima
     pos_key = jnp.where(ms & (d2 <= best_d2[seg]), pos, N)
-    best_pos = jax.ops.segment_min(pos_key, seg, num_segments=N)   # per segment
-    reps = ps[jnp.clip(best_pos, 0, N - 1)]
+    best_pos = jnp.clip(
+        jax.ops.segment_min(pos_key, seg, num_segments=N), 0, N - 1
+    )
+    reps = ps[best_pos]
+    orig_idx = order[best_pos].astype(jnp.int32)   # back to input order
 
     n_vox = jnp.sum(is_first)
     out_mask = jnp.arange(N) < n_vox
@@ -78,6 +84,7 @@ def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> Downsa
         pts=jnp.where(out_mask[:, None], reps, 0.0),
         mask=out_mask,
         count=n_vox.astype(jnp.int32),
+        idx=jnp.where(out_mask, orig_idx, 0),
     )
 
 
@@ -132,4 +139,5 @@ def onion_downsample(
         pts=jnp.where(km[:, None], ps, 0.0),
         mask=km,
         count=n,
+        idx=jnp.where(km, order.astype(jnp.int32), 0),
     )

@@ -222,7 +222,8 @@ def _body(inp: StepInputs, m_local: HashGridMap, static_cfg, lgrid: GridParams):
     return StepOutputs(
         x=x_new, P=P_new, map=m_new, updated=enough, ds_count=total_ds,
         global_pts=g_full, global_mask=inp.pts_mask,
-        global_ds=g_ds, global_ds_mask=ds.mask, diag=diag,
+        global_ds=g_ds, global_ds_mask=ds.mask, global_ds_idx=ds.idx,
+        diag=diag,
         telemetry=make_telemetry(enough, total_ds, diag, x_new, m_new,
                                  map_axis=AXIS),
     )
@@ -270,6 +271,7 @@ def make_map_sharded_step(mesh: Mesh, config, grid: GridParams):
             global_mask=pt,
             global_ds=pt,
             global_ds_mask=pt,
+            global_ds_idx=pt,
             diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
             telemetry=rep,
         )

@@ -86,6 +86,7 @@ def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
         global_mask=inp.pts_mask,
         global_ds=g_ds_local,
         global_ds_mask=ds.mask,
+        global_ds_idx=ds.idx,
         diag=diag,
         telemetry=make_telemetry(enough, total_ds, diag, x_new, m_new),
     )
@@ -127,6 +128,7 @@ def make_sharded_step(mesh: Mesh, config, grid: GridParams):
             global_mask=pt,
             global_ds=pt,
             global_ds_mask=pt,
+            global_ds_idx=pt,
             diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
             telemetry=rep,
         )

@@ -35,6 +35,7 @@ class Accumulator:
         # point store (ascending time)
         self._pts: List[np.ndarray] = []
         self._pts_t: List[np.ndarray] = []
+        self._pts_i: List[np.ndarray] = []   # per-point intensity channel
         # imu store
         self._imu_t: List[float] = []
         self._imu_a: List[np.ndarray] = []
@@ -48,11 +49,13 @@ class Accumulator:
     # ------------------------------------------------------------------
     # ingest (receive_lidar / receive_imu)
     # ------------------------------------------------------------------
-    def add_scan(self, pts: np.ndarray, t: np.ndarray):
+    def add_scan(self, pts: np.ndarray, t: np.ndarray, intensity=None):
         """Add a time-sorted scan (LiDAR frame, absolute stamps).
 
         Vendor decoding / temporal downsample / min-range filtering happen in
-        io.pointcloud before this (PointCloudProcessor analog)."""
+        io.pointcloud before this (PointCloudProcessor analog).  `intensity`
+        (N,) rides along per point (reference Point carries it end to end,
+        Objects.hpp:20-27); zeros if the driver has none."""
         if len(pts) == 0:
             return
         # missing-timestamp fallback: all-zero times → fixed delta schedule
@@ -71,6 +74,9 @@ class Accumulator:
         order = np.argsort(t, kind="stable")
         self._pts.append(np.asarray(pts, np.float32)[order])
         self._pts_t.append(np.asarray(t, np.float64)[order])
+        inten = (np.zeros(len(pts), np.float32) if intensity is None
+                 else np.asarray(intensity, np.float32))
+        self._pts_i.append(inten[order])
 
     def add_imu(self, t: float, a, w, q=None):
         t = float(t)
@@ -145,22 +151,25 @@ class Accumulator:
     # ------------------------------------------------------------------
     # range queries
     # ------------------------------------------------------------------
-    def get_points(self, t1: float, t2: float) -> Tuple[np.ndarray, np.ndarray]:
-        """Points with t ∈ (t1, t2]."""
-        ps, ts = [], []
-        for p, t in zip(self._pts, self._pts_t):
+    def get_points(self, t1: float, t2: float):
+        """Points with t ∈ (t1, t2] → (pts (N,3), t (N,), intensity (N,))."""
+        ps, ts, iis = [], [], []
+        for p, t, ii in zip(self._pts, self._pts_t, self._pts_i):
             if len(t) == 0 or t[-1] <= t1 or t[0] > t2:
                 continue
             lo = np.searchsorted(t, t1, side="right")
             hi = np.searchsorted(t, t2, side="right")
             ps.append(p[lo:hi])
             ts.append(t[lo:hi])
+            iis.append(ii[lo:hi])
         if not ps:
-            return np.zeros((0, 3), np.float32), np.zeros((0,), np.float64)
+            return (np.zeros((0, 3), np.float32), np.zeros((0,), np.float64),
+                    np.zeros((0,), np.float32))
         pts = np.concatenate(ps)
         tts = np.concatenate(ts)
+        inten = np.concatenate(iis)
         order = np.argsort(tts, kind="stable")
-        return pts[order], tts[order]
+        return pts[order], tts[order], inten[order]
 
     def get_imus(self, t1: float, t2: float):
         """IMU samples with t ∈ (t1, t2] → (t (M,), a (M,3), w (M,3))."""
@@ -194,13 +203,14 @@ class Accumulator:
     # GC (clear_lidar / Buffer::clear)
     # ------------------------------------------------------------------
     def clear_lidar(self, t: float):
-        keep_p, keep_t = [], []
-        for p, tt in zip(self._pts, self._pts_t):
+        keep_p, keep_t, keep_i = [], [], []
+        for p, tt, ii in zip(self._pts, self._pts_t, self._pts_i):
             if len(tt) and tt[-1] >= t:
                 lo = np.searchsorted(tt, t, side="left")
                 keep_p.append(p[lo:])
                 keep_t.append(tt[lo:])
-        self._pts, self._pts_t = keep_p, keep_t
+                keep_i.append(ii[lo:])
+        self._pts, self._pts_t, self._pts_i = keep_p, keep_t, keep_i
 
     def clear_imus(self, t: float):
         ts = np.asarray(self._imu_t)

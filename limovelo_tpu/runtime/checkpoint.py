@@ -114,6 +114,7 @@ def save_checkpoint(path: str, pipe):
     if acc._pts:
         acc_arrays["acc_pts"] = np.concatenate(acc._pts)
         acc_arrays["acc_pts_t"] = np.concatenate(acc._pts_t)
+        acc_arrays["acc_pts_i"] = np.concatenate(acc._pts_i)
 
     np.savez_compressed(
         path,
@@ -209,3 +210,7 @@ def load_checkpoint(path: str, pipe) -> None:
     if "acc_pts" in d:
         pipe.accum._pts = [np.asarray(d["acc_pts"], np.float32)]
         pipe.accum._pts_t = [np.asarray(d["acc_pts_t"], np.float64)]
+        pipe.accum._pts_i = [
+            np.asarray(d["acc_pts_i"], np.float32) if "acc_pts_i" in d
+            else np.zeros(len(d["acc_pts"]), np.float32)
+        ]

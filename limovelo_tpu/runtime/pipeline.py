@@ -132,8 +132,8 @@ class LioPipeline:
         return pipe
 
     # ------------------------------------------------------------------
-    def add_scan(self, pts, t):
-        self.accum.add_scan(pts, t)
+    def add_scan(self, pts, t, intensity=None):
+        self.accum.add_scan(pts, t, intensity=intensity)
 
     def add_imu(self, t, a, w, q=None):
         self.accum.add_imu(t, a, w, q)
@@ -203,18 +203,20 @@ class LioPipeline:
         wall0 = _time.perf_counter()
         rebase = self.accum.initial_time
 
-        pts, pts_t = self.accum.get_points(t1, t2)
+        pts, pts_t, pts_i = self.accum.get_points(t1, t2)
         n = len(pts)
         bucket = cfg.bucket_for(max(n, 1), cfg.point_buckets)
         if n > bucket:  # overfull window: keep the newest points
-            pts, pts_t = pts[-bucket:], pts_t[-bucket:]
+            pts, pts_t, pts_i = pts[-bucket:], pts_t[-bucket:], pts_i[-bucket:]
             n = bucket
         pts_pad = np.zeros((bucket, 3), np.float32)
         t_pad = np.zeros(bucket, np.float32)
         mask = np.zeros(bucket, bool)
+        int_pad = np.zeros(bucket, np.float32)
         pts_pad[:n] = pts
         t_pad[:n] = (pts_t - rebase).astype(np.float32)
         mask[:n] = True
+        int_pad[:n] = pts_i
 
         imu_f = self._pad_imus_np(*self.accum.get_imus(self.last_time_integrated, t2), t2, rebase)
         imu_p = self._pad_imus_np(*self.accum.get_imus(self.anchor_t, t2), t2, rebase)
@@ -255,7 +257,7 @@ class LioPipeline:
                       out.diag.plane_valid):
                 a.copy_to_host_async()
         self._pending = (t2, rebase, out, anchor_a, anchor_w, fetch,
-                         (_time.perf_counter() - wall0) * 1e3)
+                         (_time.perf_counter() - wall0) * 1e3, int_pad)
 
         # Step 3: GC (main.cpp:122) — time-based, needs no device values
         self.accum.clear_lidar(t2 - cfg.empty_lidar_time)
@@ -272,7 +274,8 @@ class LioPipeline:
         if pending is None:
             return None
         self._pending = None
-        t2, rebase, out, anchor_a, anchor_w, fetch, wall_dispatch_ms = pending
+        (t2, rebase, out, anchor_a, anchor_w, fetch, wall_dispatch_ms,
+         win_int) = pending
         cfg = self.config
         wall0 = _time.perf_counter()
 
@@ -349,6 +352,8 @@ class LioPipeline:
             # every step costs a host↔device round trip it rarely needs)
             self._last_gpts_dev = (out.global_pts, out.global_mask)
             self._last_gds_dev = (out.global_ds, out.global_ds_mask)
+            self._last_gds_idx_dev = out.global_ds_idx
+            self._last_win_int = win_int
             if self.publisher is not None:
                 # publish.state + tf (main.cpp:87-88)
                 self.publisher.state(rec)
@@ -358,14 +363,14 @@ class LioPipeline:
                 # (main.cpp:92-93).  Pulls are gated on attached sinks — each
                 # is a full (N,3) readback.
                 if getattr(self.publisher, "on_cloud", None):
-                    self.publisher.cloud(self._last_gds, t2)
+                    g, inten = self._last_gds_i
+                    self.publisher.cloud(g, t2, intensity=inten)
                 # map stream /limovelo/full_pcl, online branch
                 # (main.cpp:101-105): full-res when high_quality_publish
                 if cfg.mapping_mode == "online" and getattr(self.publisher, "on_full_cloud", None):
-                    self.publisher.full_cloud(
-                        self._last_gpts if cfg.high_quality_publish else self._last_gds,
-                        t2,
-                    )
+                    g, inten = (self._last_gpts_i if cfg.high_quality_publish
+                                else self._last_gds_i)
+                    self.publisher.full_cloud(g, t2, intensity=inten)
                 if getattr(self.publisher, "wants_planes", False):
                     # /limovelo/planes analog — pulled only when subscribed
                     cen, nrm, pv = jax.device_get(
@@ -413,6 +418,30 @@ class LioPipeline:
         g, msk = jax.device_get(dev)
         return g[msk]
 
+    @property
+    def _last_gpts_i(self):
+        """(full-res window, per-point intensity) — the full cloud keeps the
+        window's own order, so intensity aligns by the window mask."""
+        dev = getattr(self, "_last_gpts_dev", None)
+        if dev is None:
+            return None, None
+        g, msk = jax.device_get(dev)
+        win_int = getattr(self, "_last_win_int", None)
+        return g[msk], (win_int[msk] if win_int is not None else None)
+
+    @property
+    def _last_gds_i(self):
+        """(downsampled window, per-point intensity) — gathered through the
+        medoid selection indices (ops/voxel Downsampled.idx)."""
+        dev = getattr(self, "_last_gds_dev", None)
+        if dev is None:
+            return None, None
+        idx_dev = getattr(self, "_last_gds_idx_dev", None)
+        g, msk, idx = jax.device_get((dev[0], dev[1], idx_dev))
+        win_int = getattr(self, "_last_win_int", None)
+        inten = win_int[idx[msk]] if (win_int is not None and idx is not None) else None
+        return g[msk], inten
+
     # ------------------------------------------------------------------
     def _offline_map(self, t2: float, rebase: float):
         """Re-deskew [t2 − full_rotation_time, t2] with the final states,
@@ -421,25 +450,27 @@ class LioPipeline:
         `high_quality_publish`, downsampled otherwise)."""
         cfg = self.config
         t_lo = t2 - cfg.full_rotation_time
-        pts, pts_t = self.accum.get_points(t_lo, t2)
+        pts, pts_t, pts_i = self.accum.get_points(t_lo, t2)
         if len(pts) == 0:
             return
         bucket = cfg.bucket_for(len(pts), cfg.point_buckets)
         if len(pts) > bucket:
-            pts, pts_t = pts[-bucket:], pts_t[-bucket:]
+            pts, pts_t, pts_i = pts[-bucket:], pts_t[-bucket:], pts_i[-bucket:]
         n = len(pts)
         pts_pad = np.zeros((bucket, 3), np.float32)
         t_pad = np.zeros(bucket, np.float32)
         mask = np.zeros(bucket, bool)
+        int_pad = np.zeros(bucket, np.float32)
         pts_pad[:n] = pts
         t_pad[:n] = (pts_t - rebase).astype(np.float32)
         mask[:n] = True
+        int_pad[:n] = pts_i
 
         # oldest stored anchor at/before t_lo (fall back to the oldest kept)
         older = [a for a in self._anchors if a[0] <= t_lo]
         a_t, a_x, a_a, a_w = (older[-1] if older else self._anchors[0])
         imus = self._pad_imus(*self.accum.get_imus(a_t, t2), t2, rebase)
-        m_new, g_full, g_mask, g_ds, ds_mask = mapping_step(
+        m_new, g_full, g_mask, g_ds, ds_mask, ds_idx = mapping_step(
             self.map, a_x, jnp.float32(a_t - rebase), jnp.asarray(a_a),
             jnp.asarray(a_w), imus, self.x, jnp.float32(t2 - rebase),
             jnp.asarray(pts_pad), jnp.asarray(t_pad), jnp.asarray(mask),
@@ -449,9 +480,11 @@ class LioPipeline:
         if self.publisher is not None and getattr(self.publisher, "on_full_cloud", None):
             if cfg.high_quality_publish:
                 g, msk = jax.device_get((g_full, g_mask))
+                inten = int_pad[msk]
             else:
-                g, msk = jax.device_get((g_ds, ds_mask))
-            self.publisher.full_cloud(g[msk], t2)
+                g, msk, idx = jax.device_get((g_ds, ds_mask, ds_idx))
+                inten = int_pad[idx[msk]]
+            self.publisher.full_cloud(g[msk], t2, intensity=inten)
 
     # ------------------------------------------------------------------
     def spin_once(self) -> bool:

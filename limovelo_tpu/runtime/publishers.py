@@ -177,18 +177,33 @@ class Publisher:
             self._metrics.flush()
         return pkt
 
-    def cloud(self, pts: np.ndarray, t: float):
-        """Publish the window cloud — /limovelo/pcl (main.cpp:93)."""
-        for cb in self.on_cloud:
-            cb(pts, t)
+    @staticmethod
+    def _dispatch_cloud(cbs, pts, t, intensity):
+        """Call cloud callbacks: 3-arg callbacks get the per-point intensity
+        channel (reference clouds carry intensity, Point.cpp:172-175);
+        2-arg legacy callbacks get (pts, t)."""
+        import inspect
 
-    def full_cloud(self, pts: np.ndarray, t: float):
+        for cb in cbs:
+            try:
+                n_par = len(inspect.signature(cb).parameters)
+            except (TypeError, ValueError):
+                n_par = 2
+            if n_par >= 3:
+                cb(pts, t, intensity)
+            else:
+                cb(pts, t)
+
+    def cloud(self, pts: np.ndarray, t: float, intensity: np.ndarray = None):
+        """Publish the window cloud — /limovelo/pcl (main.cpp:93)."""
+        self._dispatch_cloud(self.on_cloud, pts, t, intensity)
+
+    def full_cloud(self, pts: np.ndarray, t: float, intensity: np.ndarray = None):
         """Publish the map stream — /limovelo/full_pcl (main.cpp:102-116):
         the full-resolution compensated cloud when high_quality_publish, the
         downsampled one otherwise; in offline mode, the re-deskewed full
         rotation at map cadence."""
-        for cb in self.on_full_cloud:
-            cb(pts, t)
+        self._dispatch_cloud(self.on_full_cloud, pts, t, intensity)
 
     def extrinsics(self, record) -> ExtrinsicsPacket:
         """Publish the online extrinsics estimate (print_extrinsics,

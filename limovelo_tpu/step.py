@@ -69,6 +69,9 @@ class StepOutputs(NamedTuple):
     global_ds: jnp.ndarray      # (N,3) downsampled window in world frame —
                                 # the /limovelo/pcl content (main.cpp:92-93)
     global_ds_mask: jnp.ndarray # (N,)
+    global_ds_idx: jnp.ndarray  # (N,) original window index per ds row, for
+                                # gathering per-point side channels
+                                # (intensity) on the host at publish time
     diag: UpdateDiagnostics
     telemetry: jnp.ndarray      # (TELEMETRY_DIM,) f32 — everything the host
                                 # needs per step, in ONE buffer (layout in
@@ -129,7 +132,7 @@ def mapping_step(
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
     ds = voxel_downsample(g_full, pts_mask, dyn.downsample_prec)
     m_new = insert(m, ds.pts, ds.mask, grid, downsample=True)
-    return m_new, g_full, pts_mask, ds.pts, ds.mask
+    return m_new, g_full, pts_mask, ds.pts, ds.mask, ds.idx
 
 
 def make_telemetry(
@@ -213,6 +216,7 @@ def _lio_step_core(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams
         global_mask=inp.pts_mask,
         global_ds=g_ds,
         global_ds_mask=ds.mask,
+        global_ds_idx=ds.idx,
         diag=diag,
         telemetry=telemetry,
     )

@@ -64,6 +64,17 @@ def height_colors(pts: np.ndarray) -> np.ndarray:
     return (light + t * (dark - light)).astype(np.uint8)
 
 
+def intensity_colors(intensity: np.ndarray) -> np.ndarray:
+    """Grayscale ramp over per-point intensity/reflectivity (robust 2-98 pct)
+    — the viewer-grade coloring the reference's intensity channel exists for
+    (Point.cpp:172-175)."""
+    v = np.asarray(intensity, np.float64)
+    lo, hi = np.percentile(v, 2), np.percentile(v, 98)
+    t = np.clip((v - lo) / max(hi - lo, 1e-9), 0.0, 1.0)
+    g = (40.0 + t * 215.0).astype(np.uint8)
+    return np.stack([g, g, g], axis=1)
+
+
 def trajectory_to_ply(path: str, positions: np.ndarray):
     """Export a trajectory as an orange polyline-ish PLY (dense vertices)."""
     p = np.asarray(positions, np.float32)

@@ -57,6 +57,15 @@ def _feed(pipe, sim, t_stop=None, t_start=None):
             ii += 1
         pipe.add_scan(scan.pts, scan.t)
         pipe.spin()
+    if t_stop is not None:
+        # the IMUs between the last fed scan and the cut belong to the
+        # pre-checkpoint half: run A gets them with the next scan's batch,
+        # so run B must buffer them before checkpointing or the resumed
+        # propagation integrates a gap
+        while ii < m and sim.imu_t[ii] < t_stop:
+            pipe.add_imu(sim.imu_t[ii], sim.imu_a[ii], sim.imu_w[ii])
+            ii += 1
+        pipe.spin()
     pipe.flush()
 
 

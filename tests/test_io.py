@@ -249,8 +249,9 @@ class TestKittiReader:
         scans = list(r.scans())
         imus = list(r.imu())
         assert len(scans) == 3 and len(imus) == 3
-        pts, t_abs, stamp = scans[0]
+        pts, t_abs, stamp, refl = scans[0]
         assert pts.shape == (64, 3)
+        assert refl.shape == (64,)
         assert (np.diff(sorted(t_abs)) >= 0).all()
         assert abs(imus[0].a[2] - 9.8) < 1e-6
 

@@ -71,3 +71,61 @@ class TestPipelinePublishing:
         spkt = states_seen[-1]
         assert len(spkt.positions) == len(spkt.times) == len(spkt.quaternions)
         assert np.abs(spkt.positions).max() < 1.0  # static platform
+
+
+class TestIntensityChannel:
+    def test_intensity_flows_to_published_clouds(self):
+        """Per-point intensity rides decode → accumulator → window →
+        published clouds (Point.cpp:172-175 carries intensity end to end;
+        VERDICT r2 #10).  The ds cloud's channel is gathered through the
+        medoid selection, so every value must be one of the input values."""
+        import numpy as np
+
+        from limovelo_tpu import Config
+        from limovelo_tpu.io.simulate import (circle_trajectory, replay_into,
+                                              room_world, simulate)
+        from limovelo_tpu.mapping import GridParams
+        from limovelo_tpu.runtime.pipeline import LioPipeline
+        from limovelo_tpu.runtime.publishers import Publisher
+
+        cfg = Config(
+            real_time=False, mapping_online=True, min_dist=0.5,
+            downsample_prec=0.3, full_rotation_time=0.1, imu_rate=200.0,
+            real_time_delay=0.1, empty_lidar_time=0.5,
+            degeneracy_threshold=0.0,
+            point_buckets=(2048, 4096), ds_buckets=(1024, 2048),
+            imu_buckets=(64,), map_table_size=1 << 14,
+        )
+        sim = simulate(room_world(size=20.0, n_boxes=6),
+                       circle_trajectory(radius=3.0, omega=0.4), cfg,
+                       duration=1.5, lidar_lines=8, pts_per_line=96,
+                       imu_rate=200.0, seed=3)
+        assert sim.scans[0].intensity is not None
+        assert sim.scans[0].intensity.max() > 0
+
+        pub = Publisher()
+        got = []
+        pub.on_cloud.append(lambda pts, t, intensity: got.append((pts, intensity)))
+        legacy = []
+        pub.on_cloud.append(lambda pts, t: legacy.append(len(pts)))  # 2-arg OK
+        grid = GridParams(table_size=1 << 14, coarse_factor=4,
+                          voxel_size=0.2, probe_length=8)
+        pipe = LioPipeline(cfg, grid=grid, publisher=pub)
+        replay_into(pipe, sim)
+        pipe.flush()
+        assert got and legacy
+        pts, inten = got[-1]
+        assert inten is not None and len(inten) == len(pts)
+        assert inten.max() > 0, "intensity lost on the way to the publisher"
+        # every published value must be a genuine input intensity
+        all_in = np.concatenate([s.intensity for s in sim.scans])
+        assert np.isin(np.round(inten, 5), np.round(all_in, 5)).mean() > 0.99
+
+    def test_intensity_colors(self):
+        import numpy as np
+
+        from limovelo_tpu.viz.export import intensity_colors
+
+        c = intensity_colors(np.linspace(0, 1, 100))
+        assert c.shape == (100, 3) and c.dtype == np.uint8
+        assert c[-1, 0] > c[0, 0]
