@@ -39,6 +39,7 @@ class StaticConfig(NamedTuple):
     mapping_online: bool
     knn_rings: int
     knn_max_buckets: object   # int | None — tiered-KNN slot-gather budget
+    knn_backend: str = "xla"  # "xla" | "pallas" (1-ring only)
 
 
 class DynParams(NamedTuple):
@@ -228,6 +229,13 @@ class Config:
     # nearest occupied buckets (AABB lower bound) are fetched per query.
     # Recall vs an exact oracle is regression-tested (test_knn_fidelity.py).
     knn_max_buckets: object = 32     # int | None
+    # KNN backend for the match: "xla" (dense gather + top_k) or "pallas"
+    # (grouped-DMA kernel, ops/pallas/knn.py).  The Pallas kernel covers the
+    # 1-ring envelope only and wins when queries cluster ≥~10 per coarse
+    # voxel (measured 1.26x on raw full-rotation clouds, TPU v5e; loses on
+    # sparse voxel-downsampled windows) — select it for rings=1 configs with
+    # dense windows.  Ignored (falls back to XLA) when the derived rings > 1.
+    knn_backend: str = "xla"
     point_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192, 16384)
     ds_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
     imu_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
@@ -285,6 +293,7 @@ class Config:
                 if (self.knn_max_buckets is not None and rings > 1)
                 else None
             ),
+            knn_backend=(self.knn_backend if rings == 1 else "xla"),
         )
 
     def dynamic(self) -> DynParams:

@@ -114,11 +114,20 @@ def _match(
         jnp.einsum("ij,nj->ni", x.R, jnp.einsum("ij,nj->ni", x.R_LI, pts_lidar) + x.t_LI)
         + x.p
     )
-    nb, sq, nb_valid = (knn_fn or knn)(
-        m, p_glob, grid, k=static_cfg.NUM_MATCH_POINTS,
-        rings=static_cfg.knn_rings,
-        max_buckets=getattr(static_cfg, "knn_max_buckets", None),
-    )
+    if knn_fn is None and getattr(static_cfg, "knn_backend", "xla") == "pallas":
+        # grouped-DMA Pallas kernel (1-ring envelope; config.knn_backend) —
+        # measured 1.26x over the XLA gather on dense raw clouds (TPU v5e)
+        from ..ops.pallas.knn import knn_grouped
+
+        nb, sq, nb_valid = knn_grouped(
+            m, p_glob, grid, k=static_cfg.NUM_MATCH_POINTS
+        )
+    else:
+        nb, sq, nb_valid = (knn_fn or knn)(
+            m, p_glob, grid, k=static_cfg.NUM_MATCH_POINTS,
+            rings=static_cfg.knn_rings,
+            max_buckets=getattr(static_cfg, "knn_max_buckets", None),
+        )
     fit = fit_planes(nb, sq, nb_valid, dyn.MAX_DIST_PLANE, dyn.PLANES_THRESHOLD,
                      planarity=getattr(dyn, "plane_planarity", 0.12),
                      linearity=getattr(dyn, "plane_linearity", 0.04))

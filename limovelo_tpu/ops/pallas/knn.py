@@ -35,16 +35,18 @@ Returns `mapping.knn` shapes/semantics: (neighbors (N,k,3), sq_dists (N,k)
 ascending, valid (N,k)).  Replaces the reference's per-point
 `KD_TREE::Nearest_Search` (`/root/reference/src/Modules/Mapper.cpp:82-89`).
 
-STATUS (measured on TPU v5e, round 1): Mosaic-compiles and matches the XLA
-oracle bit-for-bit on neighbor coordinates (d2 within 5e-7).  But the
-grouping premise does NOT hold for voxel-downsampled automotive windows: a
-2048-query scan-like window spans ~1800 distinct coarse voxels (~1.1
-queries/group), so each 64-slot group block is ~98% padding and the kernel
-measures 6.3 ms vs 3.6 ms for the XLA gather at equal shapes (and the full
-production step is 0.21 ms — the XLA KNN fused into the step is far cheaper
-than either standalone number).  The kernel therefore stays an alternate,
-test-covered path; it wins only when queries are NOT pre-downsampled (raw
-scans: ~16-64 queries/coarse voxel), e.g. full-rotation re-deskew matching.
+STATUS (measured on TPU v5e):
+- round 1: Mosaic-compiles; matches the XLA oracle (d2 within 5e-7).  LOSES
+  on voxel-downsampled windows (~1.1 queries/coarse voxel → 98% padding:
+  6.3 ms vs 3.6 ms standalone at equal shapes).
+- round 3 (bench_pallas.py, the kernel's stated winning regime — raw
+  non-downsampled full-rotation clouds, 10 queries/coarse voxel, 8192
+  queries): **0.066 ms vs 0.083 ms XLA — 1.26× faster, 100% d2 agreement**.
+  Adopted as the selectable `config.knn_backend="pallas"` match backend for
+  rings=1 configurations with dense windows (filter/update._match); the
+  production racing/KITTI configs keep XLA because their derived rings=3
+  coverage exceeds this kernel's 1-ring envelope and their windows are
+  voxel-downsampled.
 Capacity note: scalar-prefetch SMEM bounds g_max ≲ 1500 (27 int32/group,
 1 MB SMEM); overflowed queries return valid=False, never garbage.
 """

@@ -145,9 +145,19 @@ def replicate(mesh: Mesh, tree):
 
 
 def local_point_budget(mesh: Mesh, global_bucket: int) -> int:
-    """Rows of a point-sharded (global_bucket, ...) array owned per process."""
+    """Rows of a point-sharded (global_bucket, ...) array owned per process.
+
+    The returned quantity is rows-per-PROCESS (what
+    `make_array_from_process_local_data` consumes); sharding additionally
+    splits each process's rows over its local devices, so the bucket must
+    divide evenly at BOTH granularities — a bucket divisible by the process
+    count but not by mesh.size would shard raggedly across devices."""
     n_proc = max(jax.process_count(), 1)
+    assert global_bucket % n_proc == 0, (
+        f"point bucket {global_bucket} must divide the process count {n_proc}"
+    )
     assert global_bucket % mesh.size == 0, (
-        f"point bucket {global_bucket} must divide the mesh size {mesh.size}"
+        f"point bucket {global_bucket} must divide the mesh size {mesh.size} "
+        f"(devices shard each process's rows further)"
     )
     return global_bucket // n_proc

@@ -187,7 +187,7 @@ def run_eval(fast: bool = False) -> List[EvalRow]:
         with _tf.NamedTemporaryFile(suffix=".bag") as f:
             from limovelo_tpu.io.rosbag import feed_pipeline as feed_bag
 
-            traj = circle_trajectory(radius=4.0, omega=0.4)
+            traj = circle_trajectory(radius=4.0, omega=0.4, ramp=1.0, hold=0.5)
             world = room_world(size=24.0, n_boxes=10)
             sim = simulate(world, traj, bcfg, duration=4.0 * dur,
                            lidar_lines=12, pts_per_line=180,

@@ -149,7 +149,8 @@ class TestRosbagE2E:
                        points_topic="/velodyne_points",
                        imus_topic="/vectornav/IMU")
         world = room_world(size=24.0, n_boxes=10)
-        traj = circle_trajectory(radius=4.0, omega=0.4)
+        # standing start: the filter initializes at rest (see test_racing)
+        traj = circle_trajectory(radius=4.0, omega=0.4, ramp=1.0, hold=0.5)
         sim = simulate(world, traj, cfg, duration=4.0, lidar_lines=12,
                        pts_per_line=180, imu_rate=200.0, seed=9)
         bag = tmp_path / "xaloc_like.bag"
