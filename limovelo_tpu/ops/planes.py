@@ -76,7 +76,14 @@ def _smallest_eigvec_3x3(
     p = jnp.sqrt(jnp.maximum(p2, 0.0))
     p_safe = jnp.where(p > 1e-20, p, 1.0)
     C = Bq / p_safe[..., None, None]
-    detC = jnp.linalg.det(C)
+    # explicit 3×3 cofactor determinant: guaranteed elementwise VPU code
+    # (jnp.linalg.det may lower to batched LU on some backends)
+    c00, c01, c02 = C[..., 0, 0], C[..., 0, 1], C[..., 0, 2]
+    c10, c11, c12 = C[..., 1, 0], C[..., 1, 1], C[..., 1, 2]
+    c20, c21, c22 = C[..., 2, 0], C[..., 2, 1], C[..., 2, 2]
+    detC = (c00 * (c11 * c22 - c12 * c21)
+            - c01 * (c10 * c22 - c12 * c20)
+            + c02 * (c10 * c21 - c11 * c20))
     r = jnp.clip(detC / 2.0, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     # eigenvalues: λ_max = q + 2p cos(φ); λ_min = q + 2p cos(φ + 2π/3);
