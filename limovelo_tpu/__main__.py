@@ -160,6 +160,8 @@ def main(argv=None):
         sp.add_argument("--mapping-online", type=lambda s: s == "true", default=None)
         sp.add_argument("--render", default=None, help="write a PNG/SVG figure of the run")
         sp.add_argument("--ply", default=None, help="write the map cloud as PLY")
+        sp.add_argument("--profile", default=None,
+                        help="capture a jax.profiler trace of the replay into this dir")
 
     sp = sub.add_parser("run", help="replay a ROS1 bag")
     common(sp)
@@ -216,6 +218,15 @@ def main(argv=None):
         load_checkpoint(args.resume, pipe)
 
     t0 = time.time()
+    if getattr(args, "profile", None):
+        from contextlib import ExitStack
+
+        from limovelo_tpu.runtime.profiling import trace
+
+        _stack = ExitStack()
+        _stack.enter_context(trace(args.profile))
+    else:
+        _stack = None
     if args.cmd == "run":
         from limovelo_tpu.io.rosbag import feed_pipeline
 
@@ -246,6 +257,9 @@ def main(argv=None):
         if res.records:
             rmse, _ = ate_rmse(res.times, res.positions, sim.gt_t, sim.gt_R, sim.gt_p)
             print(f"ATE RMSE vs ground truth: {rmse:.4f} m")
+    if _stack is not None:
+        _stack.close()
+        print(f"profiler trace → {args.profile}")
     print(f"wall time: {time.time() - t0:.1f} s")
     _write_outputs(pipe, args)
 

@@ -155,3 +155,39 @@ class TestPipelineObservability:
             assert tf.parent == "map" and tf.child == "body"
             np.testing.assert_allclose(tf.translation, st.p)
             np.testing.assert_allclose(tf.quaternion, st.q)
+
+
+class TestProfiling:
+    def test_stage_timers(self):
+        from limovelo_tpu.runtime.profiling import StageTimers
+
+        t = StageTimers()
+        for _ in range(5):
+            with t("deskew"):
+                pass
+            with t("update"):
+                pass
+        s = t.summary()
+        assert s["deskew"]["n"] == 5 and s["update"]["n"] == 5
+        assert "p95_ms" in s["deskew"]
+        assert "deskew" in t.report()
+
+    def test_trace_capture(self, tmp_path):
+        """jax.profiler trace context produces a trace directory
+        (SURVEY.md §5 tracing row — the reference's MicroTimer is dead
+        code; our profiler captures real device/host spans)."""
+        import os
+
+        import jax.numpy as jnp
+
+        from limovelo_tpu.runtime.profiling import annotate, trace
+
+        logdir = str(tmp_path / "trace")
+        with trace(logdir):
+            with annotate("test-span"):
+                x = jnp.ones((64, 64))
+                (x @ x).block_until_ready()
+        found = []
+        for root, _, files in os.walk(logdir):
+            found += files
+        assert found, "profiler produced no trace files"
