@@ -40,6 +40,10 @@ class StaticConfig(NamedTuple):
     knn_rings: int
     knn_max_buckets: object   # int | None — tiered-KNN slot-gather budget
     knn_backend: str = "xla"  # "xla" | "pallas" (1-ring only)
+    # eigendecompose HtH for gating/diagnostics?  False ⇒ the 12×12 eigh
+    # (an iterative on-device loop) is compiled out entirely — derived:
+    # gating disabled AND eigenvalue printing off
+    compute_degeneracy: bool = True
 
 
 class DynParams(NamedTuple):
@@ -294,6 +298,12 @@ class Config:
                 else None
             ),
             knn_backend=(self.knn_backend if rings == 1 else "xla"),
+            # the 12×12 eigh costs an iterative device loop per GN iteration;
+            # compile it out when nothing consumes it (threshold 0 = gating
+            # off, reference semantics — and eigenvalue printing off)
+            compute_degeneracy=(
+                self.degeneracy_threshold != 0.0 or self.print_degeneracy_values
+            ),
         )
 
     def dynamic(self) -> DynParams:

@@ -194,10 +194,6 @@ def iterated_update(
         HtH = psum(Hw.T @ H)                             # (12,12), MXU
         Htr = psum(Hw.T @ (r * w))                       # (12,)
 
-        # degeneracy gating on the unwhitened HᵀH spectrum
-        eigval, eigvec = jnp.linalg.eigh(HtH)
-        strong = (eigval >= dyn.degeneracy_threshold).astype(dtype)
-
         # prior transported into the chart at the current iterate (IKFoM's
         # A-matrix projection); L = I at the first iteration (x == x0)
         L = chart_transport(x, x0, dtype)
@@ -210,9 +206,18 @@ def iterated_update(
         rhs = -(g_vec + LtPinv @ dx_prior)
         delta = jnp.linalg.solve(S, rhs)
 
-        # remap the observable block: drop components along weak directions
-        d12 = eigvec.T @ delta[:12]
-        delta = delta.at[:12].set(eigvec @ (d12 * strong))
+        # degeneracy gating on the unwhitened HᵀH spectrum (the Huguet57
+        # fork extension, Localizator.cpp:132).  Compiled out entirely when
+        # gating is off and nothing prints eigenvalues — the 12×12 eigh is
+        # an iterative on-device loop paid once per GN iteration.
+        if getattr(static_cfg, "compute_degeneracy", True):
+            eigval, eigvec = jnp.linalg.eigh(HtH)
+            strong = (eigval >= dyn.degeneracy_threshold).astype(dtype)
+            # remap the observable block: drop components along weak directions
+            d12 = eigvec.T @ delta[:12]
+            delta = delta.at[:12].set(eigvec @ (d12 * strong))
+        else:
+            eigval = jnp.zeros((12,), dtype)
 
         x_new = boxplus(x, delta)
         x = jax.tree.map(lambda n, o: jnp.where(done, o, n), x_new, x)
@@ -221,23 +226,28 @@ def iterated_update(
         newly_done = max_d < eps_limit
         it = it + jnp.where(done, 0, 1)
         done = done | newly_done
-        # thread the per-iteration share struct out of the scan: the LAST
-        # slot is the final iterate's match (once `done` the state freezes
-        # but the match still runs at it), so P⁺ and the diagnostics reuse
-        # it instead of paying a 4th full match/KNN pass (the reference's
+        # thread the per-iteration share struct out: the LAST iteration's is
+        # the final iterate's match (once `done` the state freezes but the
+        # match still runs at it), so P⁺ and the diagnostics reuse it
+        # instead of paying a 4th full match/KNN pass (the reference's
         # IKFoM likewise reuses the last share struct, Localizator.cpp:129-133)
         out = (valid, r, eigval, max_d, HtH, fit.normal, fit.centroid)
         return (x, done, it), out
 
-    init = (x0, jnp.asarray(False), jnp.zeros((), jnp.int32))
-    (x, _, iters), (valids, rs, eigs, max_ds, HtHs, normals, centroids) = jax.lax.scan(
-        gn_iteration, init, None, length=static_cfg.MAX_NUM_ITERS
-    )
+    # python-unrolled GN loop (MAX_NUM_ITERS is 3): same trace as a
+    # lax.scan but with no control-flow primitive in the program — XLA fuses
+    # identically on a healthy runtime, and host-driven runtimes that
+    # execute loop constructs slowly (see BENCH.md r03 caveat) aren't hit.
+    # Only the LAST iteration's share struct is kept (for P⁺/diagnostics).
+    carry = (x0, jnp.asarray(False), jnp.zeros((), jnp.int32))
+    out = None
+    for _ in range(static_cfg.MAX_NUM_ITERS):
+        carry, out = gn_iteration(carry, None)
+    x, _, iters = carry
+    valid, r, eigval_last, max_d_last, HtH, normals_last, centroids_last = out
 
     # final covariance from the last iteration's (already psum'd) HᵀH
-    valid, r = valids[-1], rs[-1]
     w = valid.astype(dtype)
-    HtH = HtHs[-1]
     L = chart_transport(x, x0, dtype)
     LtPinvL = L.T @ P_inv @ L
     S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype).at[:12, :12].set(HtH * r_inv) + LtPinvL
@@ -248,11 +258,11 @@ def iterated_update(
     diag = UpdateDiagnostics(
         num_matches=n_matches,
         mean_residual=psum(jnp.sum(jnp.abs(r) * w)) / jnp.maximum(n_matches, 1),
-        eigenvalues=eigs[-1],
-        delta_norm=max_ds[-1],
+        eigenvalues=eigval_last,
+        delta_norm=max_d_last,
         iterations=iters,
-        plane_normals=normals[-1],
-        plane_centroids=centroids[-1],
+        plane_normals=normals_last,
+        plane_centroids=centroids_last,
         plane_valid=valid,
     )
     return x, P_new, diag
