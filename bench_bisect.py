@@ -88,14 +88,16 @@ def main():
     h = jax.jit(lambda p, msk: voxel_downsample(p, msk, 0.5))
     print(f"voxel_downsample:    {timeit(h, queries, mask):8.3f} ms")
 
-    # 4. one full match
-    mt = jax.jit(lambda xx, mm, qq, msk: _match(xx, mm, qq, msk, grid, static, dyn))
-    print(f"_match (1 pass):     {timeit(mt, x, m, queries, mask):8.3f} ms")
+    # 4. one full match.  NOTE: `dyn` (device scalars) MUST be an explicit
+    # argument — a lambda closing over device arrays permanently degrades
+    # this environment's tunneled runtime (BENCH.md r03 pathology note).
+    mt = jax.jit(lambda xx, mm, qq, msk, dd: _match(xx, mm, qq, msk, grid, static, dd))
+    print(f"_match (1 pass):     {timeit(mt, x, m, queries, mask, dyn):8.3f} ms")
 
-    # 5. iterated update (3 GN passes + P+)
-    up = jax.jit(lambda xx, PP, mm, qq, msk: iterated_update(
-        xx, PP, mm, qq, msk, grid, static, dyn))
-    print(f"iterated_update:     {timeit(up, x, P, m, queries, mask):8.3f} ms")
+    # 5. iterated update (GN passes + P+)
+    up = jax.jit(lambda xx, PP, mm, qq, msk, dd: iterated_update(
+        xx, PP, mm, qq, msk, grid, static, dd))
+    print(f"iterated_update:     {timeit(up, x, P, m, queries, mask, dyn):8.3f} ms")
 
     # 6. predict over 16 IMUs
     ts = ((np.arange(16) + 1) * (0.01 / 16)).astype(np.float32)
@@ -103,8 +105,8 @@ def main():
                      jnp.tile(jnp.asarray(-np.array(config.gravity_vec, np.float32)), (16, 1)),
                      jnp.zeros((16, 3), jnp.float32), jnp.ones(16, bool))
     Q = process_noise_Q(config)
-    pr = jax.jit(lambda xx, PP, ii: predict_window(xx, PP, ii, 0.0, Q))
-    print(f"predict (16 imus):   {timeit(pr, x, P, imus):8.3f} ms")
+    pr = jax.jit(lambda xx, PP, ii, QQ: predict_window(xx, PP, ii, 0.0, QQ))
+    print(f"predict (16 imus):   {timeit(pr, x, P, imus, Q):8.3f} ms")
 
     # 7. map insert
     ins = jax.jit(lambda mm, qq, msk: insert(mm, qq, msk, grid))

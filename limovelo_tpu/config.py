@@ -40,6 +40,9 @@ class StaticConfig(NamedTuple):
     knn_rings: int
     knn_max_buckets: object   # int | None — tiered-KNN slot-gather budget
     knn_backend: str = "xla"  # "xla" | "pallas" (1-ring only)
+    match_mode: str = "rematch"  # "auto" | "freeze" | "rematch" (see
+                                 # Config.match_mode; direct StaticConfig
+                                 # constructions default to reference cadence)
     # eigendecompose HtH for gating/diagnostics?  False ⇒ the 12×12 eigh
     # (an iterative on-device loop) is compiled out entirely — derived:
     # gating disabled AND eigenvalue printing off
@@ -60,6 +63,7 @@ class DynParams(NamedTuple):
     LIMITS: object
     downsample_prec: object
     MAX_POINTS2MATCH: object      # i32 scalar
+    match_refresh_m: object = 0.1  # "auto" match-mode re-search threshold (m)
 
     @classmethod
     def from_config(cls, c: "Config") -> "DynParams":
@@ -72,6 +76,7 @@ class DynParams(NamedTuple):
             plane_linearity=jnp.float32(c.plane_linearity),
             QUERY_THRESHOLD=jnp.float32(c.QUERY_THRESHOLD),
             huber_delta=jnp.float32(c.huber_delta),
+            match_refresh_m=jnp.float32(c.match_refresh_m),
             LiDAR_noise=jnp.float32(c.LiDAR_noise),
             degeneracy_threshold=jnp.float32(c.degeneracy_threshold),
             LIMITS=jnp.float32(c.LIMITS),
@@ -240,6 +245,23 @@ class Config:
     # sparse voxel-downsampled windows) — select it for rings=1 configs with
     # dense windows.  Ignored (falls back to XLA) when the derived rings > 1.
     knn_backend: str = "xla"
+    # GN match cadence: "rematch" re-runs the KNN search every Gauss-Newton
+    # iteration (the reference's IKFoM h_share_model cadence — 3 full map
+    # gathers per step).  "freeze" searches ONCE at the predicted state and
+    # re-evaluates only residuals/gates against the frozen neighbor sets in
+    # later iterations (the plane geometry depends only on the neighbors).
+    # "auto" (default) freezes but RE-searches whenever the iterate's
+    # placement has moved more than `match_refresh_m` since the last search:
+    # converged steady-state steps pay ONE map gather (~3× less match HBM
+    # traffic), while large-correction steps (cold start, online extrinsic
+    # calibration from a coarse guess, degraded prediction) automatically
+    # restore the reference's full rematch fidelity.
+    match_mode: str = "auto"         # "auto" | "freeze" | "rematch"
+    # "auto" re-search trigger: upper bound (m) on how far any window point's
+    # global placement may drift from where its neighbors were last searched
+    # before the KNN re-runs (half the map voxel: staleness can never reach
+    # the scale at which a re-search would pick different fine cells).
+    match_refresh_m: float = 0.10
     point_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192, 16384)
     ds_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
     imu_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
@@ -298,6 +320,7 @@ class Config:
                 else None
             ),
             knn_backend=(self.knn_backend if rings == 1 else "xla"),
+            match_mode=self.match_mode,
             # the 12×12 eigh costs an iterative device loop per GN iteration;
             # compile it out when nothing consumes it (threshold 0 = gating
             # off, reference semantics — and eigenvalue printing off)

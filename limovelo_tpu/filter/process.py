@@ -146,7 +146,19 @@ def predict_window(
         t_next = jnp.where(valid, t, t_prev)
         return (x, P, t_next), None
 
-    (x, P, _), _ = jax.lax.scan(
-        step, (x, P, jnp.asarray(t0, x.p.dtype)), (imus.t, imus.a, imus.w, imus.mask)
-    )
+    M = int(imus.t.shape[0])
+    carry = (x, P, jnp.asarray(t0, x.p.dtype))
+    if M <= 64:
+        # python-unrolled replay: identical trace to the lax.scan below, but
+        # with no loop primitive in the program — some host-driven runtimes
+        # execute loop constructs with a flat ~25 ms penalty (BENCH.md r03),
+        # and at these sizes (M tiny 23×23 matmul chains) XLA fuses the
+        # unrolled form just as well on a healthy runtime.
+        for i in range(M):
+            carry, _ = step(carry, (imus.t[i], imus.a[i], imus.w[i], imus.mask[i]))
+    else:
+        carry, _ = jax.lax.scan(
+            step, carry, (imus.t, imus.a, imus.w, imus.mask)
+        )
+    x, P, _ = carry
     return x, P

@@ -37,8 +37,9 @@ TOMBSTONE_KEY = jnp.iinfo(jnp.int32).min + 1  # pruned bucket: probes continue
                                               # past it, inserts may reclaim it
 FAR = 1.0e9           # coordinate sentinel for empty point slots: any query is
                       # ≥ ~1e18 away, so empty slots lose every distance contest
-                      # without an occupancy mask (the Pallas KNN kernel relies
-                      # on this; the XLA path also masks via cell_d2)
+                      # without an occupancy mask (both the Pallas KNN kernel
+                      # and the XLA path rely on this — no cell_d2 gather)
+_VALID_D2_MAX = 1.0e16  # any true neighbor is closer; sentinel slots are ~1e18
 
 
 class HashGridMap(NamedTuple):
@@ -162,7 +163,7 @@ def _find_or_claim_buckets(m: HashGridMap, coarse, active, params: GridParams):
     off = jnp.zeros((N,), jnp.int32)
     row_ids = jnp.arange(N, dtype=jnp.int32)
 
-    def probe_round(_, carry):
+    def probe_round(carry):
         keys, bucket, pending, off = carry
         cand = (h0 + off) % T
         stored = keys[cand]                                 # (N,3)
@@ -189,23 +190,37 @@ def _find_or_claim_buckets(m: HashGridMap, coarse, active, params: GridParams):
         off = jnp.where(occupied_other, jnp.minimum(off + 1, params.probe_length - 1), off)
         return keys, bucket, pending, off
 
-    # extra rounds absorb claim-race stalls (losers retry without advancing)
-    keys, bucket, pending, _ = jax.lax.fori_loop(
-        0, 2 * params.probe_length, probe_round, (keys, bucket, pending, off)
-    )
+    # extra rounds absorb claim-race stalls (losers retry without advancing).
+    # Python-unrolled (bounded by 2·probe_length, a static config int): the
+    # rounds contain index-array scatters, which some host-driven runtimes
+    # execute with a flat ~25 ms penalty when wrapped in a loop primitive
+    # (BENCH.md r03); unrolled straight-line scatters are unaffected.
+    carry = (keys, bucket, pending, off)
+    for _ in range(2 * params.probe_length):
+        carry = probe_round(carry)
+    keys, bucket, pending, _ = carry
     return keys, bucket, active & ~pending
 
 
 def _lookup_buckets(keys, coarse, params: GridParams):
-    """Read-only probe: coarse coords (..., 3) → bucket index or -1."""
+    """Read-only probe: coarse coords (..., 3) → bucket index or -1.
+
+    Early-exit while_loop: each probe round gathers `keys` for every still-
+    pending coord — at typical load factors almost every chain resolves at
+    offset 0, so exiting when all are done cuts the probe gather traffic
+    ~4× vs a fixed `probe_length`-round sweep (measured; see BENCH.md r03)."""
     T = params.table_size
     h0 = _hash_coords(coarse, T)
     shape = coarse.shape[:-1]
     bucket = jnp.full(shape, -1, jnp.int32)
     done = jnp.zeros(shape, bool)
 
-    def probe_round(i, carry):
-        bucket, done = carry
+    def cond(carry):
+        i, bucket, done = carry
+        return (i < params.probe_length) & ~jnp.all(done)
+
+    def probe_round(carry):
+        i, bucket, done = carry
         cand = (h0 + i) % T
         stored = keys[cand]
         is_match = jnp.all(stored == coarse, axis=-1)
@@ -214,9 +229,11 @@ def _lookup_buckets(keys, coarse, params: GridParams):
         is_empty = jnp.all(stored == EMPTY_KEY, axis=-1)
         bucket = jnp.where(is_match & ~done, cand, bucket)
         done = done | is_match | is_empty
-        return bucket, done
+        return i + 1, bucket, done
 
-    bucket, _ = jax.lax.fori_loop(0, params.probe_length, probe_round, (bucket, done))
+    _, bucket, _ = jax.lax.while_loop(
+        cond, probe_round, (jnp.zeros((), jnp.int32), bucket, done)
+    )
     return bucket
 
 
@@ -376,15 +393,16 @@ def knn(
 
     safe = jnp.where(bucket >= 0, bucket, 0)
     cand = m.pts[safe]                                     # (N,V,S,3)
-    cand_d2 = m.cell_d2[safe]                              # (N,V,S)
-    occupied = jnp.isfinite(cand_d2) & (bucket >= 0)[..., None]
-
+    # occupancy is free: empty slots hold the FAR sentinel (~1e9), so their
+    # distance to any real query is ~3e18 — far beyond _VALID_D2_MAX but
+    # still finite f32.  No second (N,V,S) cell_d2 gather (it was ~25% of
+    # the match's HBM traffic); absent buckets are masked via `bucket`.
     diff = cand - queries[:, None, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(occupied, d2, jnp.inf).reshape(N, V * S)
+    d2 = jnp.where((bucket >= 0)[..., None], d2, jnp.inf).reshape(N, V * S)
 
     neg_top, idx = jax.lax.top_k(-d2, k)                   # ascending distance
     sq = -neg_top
-    valid = jnp.isfinite(sq)
+    valid = sq < _VALID_D2_MAX
     nb = jnp.take_along_axis(cand.reshape(N, V * S, 3), idx[..., None], axis=1)
     return nb, jnp.where(valid, sq, jnp.inf), valid
