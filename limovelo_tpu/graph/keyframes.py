@@ -66,6 +66,12 @@ class KeyframeStore:
     def maybe_add(self, t: float, R: np.ndarray, p: np.ndarray, scan: np.ndarray) -> Optional[Keyframe]:
         if not self.selector.should_add(R, p):
             return None
+        return self.add(t, R, p, scan)
+
+    def add(self, t: float, R: np.ndarray, p: np.ndarray, scan: np.ndarray) -> Keyframe:
+        """Unconditional append — for callers that gated on
+        `selector.should_add` themselves BEFORE materializing `scan` (pulling
+        a scan off-device is expensive; gate first, fetch second)."""
         kf = Keyframe(kf_id=len(self.frames), t=t, R=R.copy(), p=p.copy(), scan=scan)
         self.frames.append(kf)
         return kf

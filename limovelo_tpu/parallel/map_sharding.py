@@ -219,13 +219,18 @@ def _body(inp: StepInputs, m_local: HashGridMap, static_cfg, lgrid: GridParams):
     m_new = insert_sharded(m_local, g_ds, ins_mask, lgrid, AXIS, downsample=True)
 
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
+    anchor_new = jax.tree.map(lambda n, o: jnp.where(enough, n, o), x_new, inp.anchor)
+    anchor_t_new = jnp.where(enough, jnp.asarray(inp.t2, jnp.float32),
+                             jnp.asarray(inp.anchor_t, jnp.float32))
     return StepOutputs(
         x=x_new, P=P_new, map=m_new, updated=enough, ds_count=total_ds,
         global_pts=g_full, global_mask=inp.pts_mask,
         global_ds=g_ds, global_ds_mask=ds.mask, global_ds_idx=ds.idx,
         diag=diag,
         telemetry=make_telemetry(enough, total_ds, diag, x_new, m_new,
-                                 map_axis=AXIS),
+                                 anchor_t=anchor_t_new, map_axis=AXIS),
+        anchor=anchor_new,
+        anchor_t=anchor_t_new,
     )
 
 
@@ -274,6 +279,8 @@ def make_map_sharded_step(mesh: Mesh, config, grid: GridParams):
             global_ds_idx=pt,
             diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
             telemetry=rep,
+            anchor=rep_tree(inp.anchor),
+            anchor_t=rep,
         )
         f = jax.shard_map(
             partial(_body, static_cfg=static_cfg, lgrid=lgrid),

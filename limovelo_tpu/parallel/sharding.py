@@ -76,6 +76,9 @@ def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
     # local shard of the ds window in world frame (gathered variant feeds the
     # insert above; publish path reassembles from the point-sharded output)
     g_ds_local = jnp.einsum("ij,nj->ni", R_wl, ds.pts) + t_wl
+    anchor_new = jax.tree.map(lambda n, o: jnp.where(enough, n, o), x_new, inp.anchor)
+    anchor_t_new = jnp.where(enough, jnp.asarray(inp.t2, jnp.float32),
+                             jnp.asarray(inp.anchor_t, jnp.float32))
     return StepOutputs(
         x=x_new,
         P=P_new,
@@ -88,7 +91,10 @@ def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
         global_ds_mask=ds.mask,
         global_ds_idx=ds.idx,
         diag=diag,
-        telemetry=make_telemetry(enough, total_ds, diag, x_new, m_new),
+        telemetry=make_telemetry(enough, total_ds, diag, x_new, m_new,
+                                 anchor_t=anchor_t_new),
+        anchor=anchor_new,
+        anchor_t=anchor_t_new,
     )
 
 
@@ -131,6 +137,8 @@ def make_sharded_step(mesh: Mesh, config, grid: GridParams):
             global_ds_idx=pt,
             diag=UpdateDiagnostics(rep, rep, rep, rep, rep, pt, pt, pt),
             telemetry=rep,
+            anchor=rep_tree(inp.anchor),
+            anchor_t=rep,
         )
         f = jax.shard_map(
             partial(_sharded_body, static_cfg=static_cfg, grid=grid),

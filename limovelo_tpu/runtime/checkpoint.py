@@ -167,6 +167,9 @@ def load_checkpoint(path: str, pipe) -> None:
     pipe.last_time_updated = float(d["last_updated"])
     pipe.last_time_integrated = float(d["last_integrated"])
     pipe.anchor_t = float(d["anchor_t"])
+    # the device-threaded anchor time (rebased): exact after the pre-save
+    # flush, so the host value restores it losslessly
+    pipe.anchor_t_dev = jnp.float32(pipe.anchor_t - float(d["initial_time"]))
     pipe.accum.initial_time = float(d["initial_time"])
     pipe.accum._ready = True
     pipe._initialized = True
@@ -185,14 +188,18 @@ def load_checkpoint(path: str, pipe) -> None:
 
     # corrected-state history (BUFFER_X analog for offline re-deskew)
     if "anchors_t" in d:
+        from .pipeline import AnchorRec
+
         ts = np.asarray(d["anchors_t"])
         fields = ("R", "p", "v", "bg", "ba", "g", "R_LI", "t_LI")
         pipe._anchors = [
-            (
+            AnchorRec(
                 float(ts[i]),
                 NavState(*(jnp.asarray(d["anchors_" + f][i]) for f in fields)),
                 np.asarray(d["anchors_a"][i]),
                 np.asarray(d["anchors_w"][i]),
+                np.asarray(d["anchors_R"][i]),
+                np.asarray(d["anchors_p"][i]),
             )
             for i in range(len(ts))
         ]

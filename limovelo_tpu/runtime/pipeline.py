@@ -10,8 +10,9 @@ runs inside the single jitted `lio_step`.
 from __future__ import annotations
 
 import time as _time
+from collections import deque
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 
@@ -74,15 +75,68 @@ class OdometryResult:
         return np.stack([r.R for r in self.records]) if self.records else np.zeros((0, 3, 3))
 
 
-class LioPipeline:
-    """Feed sensors in (any interleaving), call `spin()`, read trajectory out."""
+class AnchorRec(NamedTuple):
+    """One BUFFER_X entry: corrected state at an accepted update.  `R_h`/`p_h`
+    are HOST copies of the pose (from telemetry) so publishing the state
+    history never reads the device (a device→host read costs a ~26 ms RPC
+    round trip on a tunneled TPU once the runtime is in degraded-readback
+    mode — see `_PendingStep`)."""
 
-    def __init__(self, config, grid: Optional[GridParams] = None, publisher=None):
+    t: float
+    x: object          # NavState (device)
+    a: np.ndarray      # controls seeding a re-deskew path from this anchor
+    w: np.ndarray
+    R_h: Optional[np.ndarray] = None
+    p_h: Optional[np.ndarray] = None
+
+
+class _PendingStep(NamedTuple):
+    """A dispatched-but-unresolved step.
+
+    The tunneled TPU runtime this targets has a measured pathology
+    (debug_readback*.py, BENCH.md): after the FIRST device→host read of any
+    buffer, every *blocking* dispatch costs a ~26 ms RPC round trip — but
+    enqueue throughput stays ~1.5 ms/step and an async-copied buffer read
+    ≥~50 ms after its copy started costs ~0.01 ms.  So the pipeline keeps a
+    depth-K queue of dispatched steps, async-copies each telemetry vector at
+    dispatch, and resolves entries only once their copy has had time to land
+    (or the queue overflows / flush() forces it).  The deskew anchor is
+    threaded ON DEVICE (step.StepOutputs.anchor) so no dispatch ever waits on
+    a readback."""
+
+    t2: float
+    rebase: float
+    out: object            # StepOutputs (map buffer donated to the next step)
+    anchor_a: np.ndarray
+    anchor_w: np.ndarray
+    fetch: object          # telemetry device array (async copy in flight)
+    wall_dispatch_ms: float
+    win_int: np.ndarray
+    dispatched_at: float   # host perf_counter at dispatch (age gating)
+
+
+class LioPipeline:
+    """Feed sensors in (any interleaving), call `spin()`, read trajectory out.
+
+    `max_inflight` bounds the dispatch-ahead depth; `readback_lag_s` is the
+    minimum age before a step's telemetry is read back (both no-ops for
+    correctness — resolution is order-preserving and flush() drains).
+    `readback_lag_s=None` picks a backend default: 0 on CPU (reads are free;
+    resolution then runs every spin, the depth-1 cadence), 50 ms on
+    accelerators (covers the tunneled runtime's async-copy landing time —
+    debug_readback3.lagread)."""
+
+    def __init__(self, config, grid: Optional[GridParams] = None, publisher=None,
+                 max_inflight: int = 8, readback_lag_s: Optional[float] = None):
         self.config = config
         self.grid = grid or GridParams.from_config(config)
         self.accum = Accumulator(config)
         self._result = OdometryResult()
         self.publisher = publisher  # runtime.publishers.Publisher or None
+        self.max_inflight = max(1, int(max_inflight))
+        if readback_lag_s is None:
+            readback_lag_s = 0.0 if jax.default_backend() == "cpu" else 0.05
+        self.readback_lag_s = float(readback_lag_s)
 
         self._initialized = False
         self.map = None
@@ -95,21 +149,27 @@ class LioPipeline:
         self.t2: Optional[float] = None
         self.last_time_updated: Optional[float] = None     # Localizator analog
         self.last_time_integrated: Optional[float] = None
+        # the TRUE anchor lives on device (threaded through lio_step_packed);
+        # `anchor_t` is the host's conservative LOWER BOUND on the anchor
+        # time, refreshed from telemetry at resolution — it only selects
+        # which IMU superset window to ship (the device masks to > anchor_t)
         self.anchor = None
         self.anchor_t: Optional[float] = None
+        self.anchor_t_dev = None
         self.last_map_time: Optional[float] = None         # Mapper::hasToMap
         # recent corrected states (BUFFER_X analog) for offline-mode re-deskew
-        self._anchors: List[tuple] = []
+        self._anchors: List[AnchorRec] = []
         self._last_prune_t: Optional[float] = None
         self.stream_dead = False   # set when the sensor stream dies (ended())
         self._last_processed_t2: float = -np.inf
-        self._pending = None   # in-flight step awaiting host bookkeeping
+        self._pending = deque()   # in-flight steps awaiting host bookkeeping
+        self._seen_shapes = set()  # (bucket, imu_f, imu_p) combos compiled
 
     # ------------------------------------------------------------------
     @property
     def result(self) -> OdometryResult:
-        """The trajectory so far; resolves any in-flight step first."""
-        self._resolve_pending()
+        """The trajectory so far; resolves all in-flight steps first."""
+        self._resolve_all()
         return self._result
 
     # ------------------------------------------------------------------
@@ -157,6 +217,7 @@ class LioPipeline:
         self.last_time_integrated = t0
         self.anchor = self.x
         self.anchor_t = t0
+        self.anchor_t_dev = jnp.float32(0.0)   # rebased
         self._initialized = True
 
     # ------------------------------------------------------------------
@@ -196,9 +257,10 @@ class LioPipeline:
         """Dispatch one localization window [t1, t2] (main.cpp Step 1-3).
 
         Bookkeeping that depends on device values is deferred to
-        `_resolve_pending()` (next spin / `flush()`) so the readback overlaps
-        host ingest."""
-        self._resolve_pending()
+        `_resolve_ready()` (subsequent spins / `flush()`) so the telemetry
+        readback lands in the background while the host keeps dispatching."""
+        if len(self._pending) >= self.max_inflight:
+            self._resolve_one()
         cfg = self.config
         wall0 = _time.perf_counter()
         rebase = self.accum.initial_time
@@ -219,11 +281,31 @@ class LioPipeline:
         int_pad[:n] = pts_i
 
         imu_f = self._pad_imus_np(*self.accum.get_imus(self.last_time_integrated, t2), t2, rebase)
+        # path window: a SUPERSET from the host's lagged anchor lower bound;
+        # the device masks to entries strictly after its own anchor_t.  Bound
+        # the staleness first: a window outgrowing the largest configured IMU
+        # bucket would force a fresh executable compile (config.bucket_for
+        # grows past the list) — resolving the oldest pending step refreshes
+        # the bound instead.
+        max_imu = max(cfg.imu_buckets)
+        while (self._pending
+               and (t2 - self.anchor_t) * cfg.imu_rate + 4 > max_imu):
+            self._resolve_one()
         imu_p = self._pad_imus_np(*self.accum.get_imus(self.anchor_t, t2), t2, rebase)
 
         nxt = self.accum.get_next_imu(self.anchor_t)
         anchor_a = nxt.a if nxt is not None else np.zeros(3, np.float32)
         anchor_w = nxt.w if nxt is not None else np.zeros(3, np.float32)
+
+        # first time this (bucket, imu-window) shape combination appears, the
+        # dispatch below COMPILES a new executable (and serializes it to the
+        # persistent cache) — quiesce the in-flight async queue first: a
+        # cache write racing live donated executions has been observed to
+        # segfault XLA:CPU's serializer mid-suite
+        sig = ("step", bucket, len(imu_f[0]), len(imu_p[0]))
+        if sig not in self._seen_shapes:
+            self._seen_shapes.add(sig)
+            self._quiesce()
 
         # ONE host→device transfer for all per-step inputs (a tunneled TPU
         # pays a full RPC round trip per buffer — see step.lio_step_packed)
@@ -233,8 +315,8 @@ class LioPipeline:
             pts_pad, t_pad, mask,
         )
         out = lio_step_packed(
-            jnp.asarray(packed), self.x, self.P, self.anchor, self.Q,
-            self.map, self.dyn,
+            jnp.asarray(packed), self.x, self.P, self.anchor,
+            self.anchor_t_dev, self.Q, self.map, self.dyn,
             n_pts=bucket, n_imu_f=len(imu_f[0]), n_imu_p=len(imu_p[0]),
             static_cfg=self._static, grid=self.grid,
         )
@@ -242,22 +324,72 @@ class LioPipeline:
         self.map = out.map
         self.x = out.x
         self.P = out.P
+        self.anchor = out.anchor
+        self.anchor_t_dev = out.anchor_t
         self.last_time_integrated = t2
+        # optimistic `last_time_updated` advance: the next window's t1 must
+        # not re-include this window's points, and waiting for the update
+        # flag would couple scheduling to the (lagged) readback.  The host
+        # advances when the RAW count clears MAX_POINTS2MATCH — the update
+        # only fails beyond that if voxel downsampling collapses the window
+        # below the threshold, and such a window is NOT retried (documented
+        # deviation from main.cpp:81's retry; resolution never moves the
+        # bound backwards).
+        if n >= cfg.MAX_POINTS2MATCH:
+            self.last_time_updated = t2
+            if self.last_map_time is None:
+                # offline-mapping cadence starts at the first update; anchor
+                # it to data time here so the schedule never depends on when
+                # the telemetry readback happens to land
+                self.last_map_time = t2
 
-        # start the device→host copy NOW and defer the bookkeeping that
-        # needs its values to the next spin (or flush()): the tunnel to a
-        # remote TPU has a multi-ms readback round trip per buffer, and the
-        # async copy lands in the background while the host ingests the next
-        # sensor batch — the single biggest real-time lever on this setup.
+        # start the device→host copy NOW; the bookkeeping that needs its
+        # values resolves once the copy has LANDED (age ≥ readback_lag_s) —
+        # reading earlier costs a full RPC round trip per step and flips the
+        # runtime into its degraded-dispatch mode (see _PendingStep).
         # Everything the host needs is packed into the ONE telemetry vector.
         fetch = out.telemetry
         fetch.copy_to_host_async()
-        if self.publisher is not None and getattr(self.publisher, "wants_planes", False):
-            for a in (out.diag.plane_centroids, out.diag.plane_normals,
-                      out.diag.plane_valid):
-                a.copy_to_host_async()
-        self._pending = (t2, rebase, out, anchor_a, anchor_w, fetch,
-                         (_time.perf_counter() - wall0) * 1e3, int_pad)
+        if self.publisher is not None:
+            if getattr(self.publisher, "wants_planes", False):
+                for a in (out.diag.plane_centroids, out.diag.plane_normals,
+                          out.diag.plane_valid):
+                    a.copy_to_host_async()
+            # cloud sinks read these at resolution; start their copies now
+            if getattr(self.publisher, "on_cloud", None) or (
+                cfg.mapping_mode == "online"
+                and getattr(self.publisher, "on_full_cloud", None)
+            ):
+                for a in (out.global_ds, out.global_ds_mask, out.global_ds_idx):
+                    a.copy_to_host_async()
+                if cfg.high_quality_publish:
+                    for a in (out.global_pts, out.global_mask):
+                        a.copy_to_host_async()
+        self._pending.append(_PendingStep(
+            t2, rebase, out, anchor_a, anchor_w, fetch,
+            (_time.perf_counter() - wall0) * 1e3, int_pad,
+            _time.perf_counter(),
+        ))
+
+        # Step 2 (offline mode): map every full rotation with final states
+        # (main.cpp:107-117, Mapper::hasToMap).  Triggered at DISPATCH time —
+        # the anchors a rotation back are long resolved, and waiting for this
+        # window's own resolution would grow the map K windows late under the
+        # depth-K readback queue.  Mode "none" (frozen HD map) never maps.
+        if (
+            cfg.mapping_mode == "offline"
+            and self.last_map_time is not None
+            and t2 - self.last_map_time >= cfg.full_rotation_time
+        ):
+            # the anchor history must be complete up to the rotation start or
+            # the re-deskew anchor pick would depend on readback timing
+            # (wall clock) instead of data time — resolve that far first
+            t_lo = t2 - cfg.full_rotation_time
+            while self._pending and self._pending[0].t2 <= t_lo:
+                self._resolve_one()
+            if self._anchors:
+                self._offline_map(t2, rebase)
+                self.last_map_time = t2
 
         # Step 3: GC (main.cpp:122) — time-based, needs no device values
         self.accum.clear_lidar(t2 - cfg.empty_lidar_time)
@@ -265,24 +397,47 @@ class LioPipeline:
         return None
 
     # ------------------------------------------------------------------
-    def _resolve_pending(self) -> Optional[StepRecord]:
-        """Finish the host bookkeeping of the last dispatched step: anchor
-        update, offline mapping cadence, record append, publishing.  Runs at
-        the start of the next spin (so the readback overlapped the ingest) and
-        from `flush()`.  Idempotent."""
-        pending = getattr(self, "_pending", None)
-        if pending is None:
+    def _resolve_ready(self) -> None:
+        """Resolve every pending step whose telemetry copy has had time to
+        land (age ≥ readback_lag_s); order-preserving, non-blocking for young
+        entries."""
+        while self._pending and (
+            _time.perf_counter() - self._pending[0].dispatched_at
+            >= self.readback_lag_s
+        ):
+            self._resolve_one()
+
+    def _resolve_all(self) -> Optional[StepRecord]:
+        """Drain the pending queue (flush).  Waits out the readback lag of
+        the youngest entry once, rather than paying a blocking RPC round trip
+        per entry (debug_readback3.lagread)."""
+        rec = None
+        if self._pending:
+            last = self._pending[-1]
+            jax.block_until_ready(last.fetch)
+            age = _time.perf_counter() - last.dispatched_at
+            if age < self.readback_lag_s:
+                _time.sleep(self.readback_lag_s - age)
+        while self._pending:
+            rec = self._resolve_one()
+        return rec
+
+    def _resolve_one(self) -> Optional[StepRecord]:
+        """Finish the host bookkeeping of the OLDEST dispatched step: update
+        cadence/time bookkeeping, offline mapping, record append, publishing."""
+        if not self._pending:
             return None
-        self._pending = None
+        pending = self._pending.popleft()
         (t2, rebase, out, anchor_a, anchor_w, fetch, wall_dispatch_ms,
-         win_int) = pending
+         win_int, _dispatched_at) = pending
         cfg = self.config
         wall0 = _time.perf_counter()
 
-        from ..step import (TEL_DELTA_NORM, TEL_DS_COUNT, TEL_EIG, TEL_EXT_R,
-                            TEL_EXT_T, TEL_ITERS, TEL_MAP_BUCKETS,
-                            TEL_MAP_DROPPED, TEL_MAP_POINTS, TEL_MATCHES,
-                            TEL_P, TEL_R, TEL_RESIDUAL, TEL_UPDATED, TEL_V)
+        from ..step import (TEL_ANCHOR_T, TEL_DELTA_NORM, TEL_DS_COUNT,
+                            TEL_EIG, TEL_EXT_R, TEL_EXT_T, TEL_ITERS,
+                            TEL_MAP_BUCKETS, TEL_MAP_DROPPED, TEL_MAP_POINTS,
+                            TEL_MATCHES, TEL_P, TEL_R, TEL_RESIDUAL,
+                            TEL_UPDATED, TEL_V)
 
         tele = np.asarray(jax.device_get(fetch))
         updated = bool(tele[TEL_UPDATED] > 0.5)
@@ -290,12 +445,21 @@ class LioPipeline:
         mean_res, iters = tele[TEL_RESIDUAL], tele[TEL_ITERS]
         R_h = tele[TEL_R].reshape(3, 3)
         p_h, v_h = tele[TEL_P], tele[TEL_V]
+        # refresh the host's anchor-time lower bound from the device's truth
+        # (the device anchor itself advanced at dispatch — see step_window)
+        if tele[TEL_ANCHOR_T] >= 0.0:
+            self.anchor_t = max(self.anchor_t, rebase + float(tele[TEL_ANCHOR_T]))
         if updated:
-            # corrected state becomes the new deskew anchor (BUFFER_X push)
-            self.anchor = out.x
-            self.anchor_t = t2
-            self.last_time_updated = t2
-            self._anchors.append((t2, out.x, anchor_a, anchor_w))
+            # corrected state enters the state history (BUFFER_X push);
+            # monotonic — see the optimistic advance in step_window
+            self.last_time_updated = max(self.last_time_updated, t2)
+            nxt = self.accum.get_next_imu(t2)
+            self._anchors.append(AnchorRec(
+                t2, out.x,
+                nxt.a if nxt is not None else anchor_a,
+                nxt.w if nxt is not None else anchor_w,
+                np.asarray(R_h), np.asarray(p_h),
+            ))
             horizon = t2 - 2 * max(cfg.full_rotation_time, 0.2)
             self._anchors = [a for a in self._anchors if a[0] >= horizon] or self._anchors[-1:]
             if self.last_map_time is None:
@@ -313,19 +477,6 @@ class LioPipeline:
                     jnp.float32(cfg.map_prune_radius), self.grid,
                 )
                 self._last_prune_t = t2
-
-        # Step 2 (offline mode): map every full rotation with final states
-        # (main.cpp:107-117, Mapper::hasToMap).  Mode "none" (frozen HD map)
-        # never inserts anywhere: the device step's insert mask is already
-        # False (static mapping_online=False) and this branch is skipped.
-        if (
-            cfg.mapping_mode == "offline"
-            and updated
-            and self.last_map_time is not None
-            and t2 - self.last_map_time >= cfg.full_rotation_time
-        ):
-            self._offline_map(t2, rebase)
-            self.last_map_time = t2
 
         rec = StepRecord(
             t=t2,
@@ -379,12 +530,18 @@ class LioPipeline:
                     )
                     self.publisher.planes(cen[pv], nrm[pv], t2)
                 if getattr(self.publisher, "on_states", None):
-                    # /limovelo/states analog — the BUFFER_X pose array
-                    ts = np.array([a[0] for a in self._anchors])
+                    # /limovelo/states analog — the BUFFER_X pose array.
+                    # Host pose copies ride in each AnchorRec, so this pull
+                    # costs zero device reads; device_get only for legacy
+                    # checkpoint-restored entries lacking them.
+                    ts = np.array([a.t for a in self._anchors])
                     Rs, ps = [], []
-                    for _, ax, _, _ in self._anchors:
-                        Rh, ph = jax.device_get((ax.R, ax.p))
-                        Rs.append(Rh); ps.append(ph)
+                    for a in self._anchors:
+                        if a.R_h is not None:
+                            Rs.append(a.R_h); ps.append(a.p_h)
+                        else:
+                            Rh, ph = jax.device_get((a.x.R, a.x.p))
+                            Rs.append(np.asarray(Rh)); ps.append(np.asarray(ph))
                     self.publisher.states(ts, np.stack(ps), np.stack(Rs), t2)
             self._on_record(rec)
         return rec
@@ -395,9 +552,17 @@ class LioPipeline:
         SLAM layer keyframes here)."""
 
     def flush(self) -> Optional[StepRecord]:
-        """Resolve any in-flight step (public: call before reading `result`
+        """Resolve all in-flight steps (public: call before reading `result`
         mid-run or checkpointing)."""
-        return self._resolve_pending()
+        return self._resolve_all()
+
+    def _quiesce(self) -> None:
+        """Drain the async queue and wait the device idle — called before a
+        dispatch that will compile a NEW executable (see step_window)."""
+        while self._pending:
+            self._resolve_one()
+        if self.x is not None:
+            jax.block_until_ready(self.x)
 
     # ------------------------------------------------------------------
     @property
@@ -467,9 +632,13 @@ class LioPipeline:
         int_pad[:n] = pts_i
 
         # oldest stored anchor at/before t_lo (fall back to the oldest kept)
-        older = [a for a in self._anchors if a[0] <= t_lo]
-        a_t, a_x, a_a, a_w = (older[-1] if older else self._anchors[0])
+        older = [a for a in self._anchors if a.t <= t_lo]
+        a_t, a_x, a_a, a_w = (older[-1] if older else self._anchors[0])[:4]
         imus = self._pad_imus(*self.accum.get_imus(a_t, t2), t2, rebase)
+        sig = ("map", bucket, int(imus.t.shape[0]))
+        if sig not in self._seen_shapes:
+            self._seen_shapes.add(sig)
+            self._quiesce()
         m_new, g_full, g_mask, g_ds, ds_mask, ds_idx = mapping_step(
             self.map, a_x, jnp.float32(a_t - rebase), jnp.asarray(a_a),
             jnp.asarray(a_w), imus, self.x, jnp.float32(t2 - rebase),
@@ -490,10 +659,10 @@ class LioPipeline:
     def spin_once(self) -> bool:
         """One main-loop pass; returns True if a window was processed."""
         cfg = self.config
-        # finish the previous step's bookkeeping first: its readback has been
-        # landing in the background since dispatch, and `last_time_updated` /
-        # the anchor must be current before this window is scheduled
-        self._resolve_pending()
+        # resolve any steps whose telemetry has landed: their readbacks have
+        # been in flight since dispatch; the anchor itself is threaded on
+        # device, so scheduling never blocks on them
+        self._resolve_ready()
         if not self.accum.ready():
             return False
         # stream-death detector (Accumulator::ended, Accumulator.cpp:117-122

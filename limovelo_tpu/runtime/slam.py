@@ -64,22 +64,31 @@ class SlamPipeline(LioPipeline):
 
     # ------------------------------------------------------------------
     def _on_record(self, rec):
-        # called at step resolution, while self.x / _last_gpts_dev still
-        # belong to rec's window (see LioPipeline._resolve_pending)
+        # called at step resolution: rec and _last_gpts_dev belong to the
+        # resolved window; self.x may have advanced past it under the depth-K
+        # readback queue (see LioPipeline._resolve_one) — use rec's telemetry
         if rec.updated:
             self._maybe_keyframe(rec)
 
     def _maybe_keyframe(self, rec):
-        # store the downsampled deskewed scan in LiDAR frame: reconstruct it
-        # from the latest window's global points by inverting the pose
+        # gate FIRST on the pose (host floats from telemetry): materializing
+        # the scan is a full device→host cloud pull we skip for rejected
+        # frames.  Extrinsics come from the record's own telemetry, not
+        # self.x — with the depth-K readback pipeline self.x has advanced
+        # past rec's window by resolution time.
+        if not self.keyframes.selector.should_add(rec.R, rec.p):
+            return
         g = self._last_global_scan()
         if g is None:
             return
-        R_wl = rec.R @ np.asarray(self.x.R_LI)
-        t_wl = rec.p + rec.R @ np.asarray(self.x.t_LI)
+        from scipy.spatial.transform import Rotation as _Rsc
+
+        R_LI = _Rsc.from_rotvec(rec.extr_rotvec).as_matrix()
+        R_wl = rec.R @ R_LI
+        t_wl = rec.p + rec.R @ rec.extr_t
         scan_lidar = (g - t_wl) @ R_wl
-        kf = self.keyframes.maybe_add(rec.t, rec.R, rec.p, scan_lidar.astype(np.float32))
-        if kf is not None and len(self.keyframes) % self._loop_check_every == 0:
+        self.keyframes.add(rec.t, rec.R, rec.p, scan_lidar.astype(np.float32))
+        if len(self.keyframes) % self._loop_check_every == 0:
             self._check_loops()
 
     def _last_global_scan(self) -> Optional[np.ndarray]:

@@ -80,6 +80,15 @@ class StepOutputs(NamedTuple):
                                 # device→host buffer costs a full RPC round
                                 # trip (~30 ms measured), so a multi-buffer
                                 # readback pays that once per buffer
+    # deskew anchor threaded ON DEVICE: the corrected state at the latest
+    # accepted update (BUFFER_X head, main.cpp:85-88).  Keeping the anchor a
+    # device value means the host never needs the per-step `updated` flag to
+    # run the NEXT dispatch — the enabler for the depth-K async readback
+    # pipeline (runtime/pipeline.py): one device→host read of any step output
+    # degrades this runtime's blocking dispatch latency ~100×, so the host
+    # resolves telemetry with a lag instead of per step
+    anchor: NavState
+    anchor_t: jnp.ndarray       # () rebased seconds
 
 
 #: telemetry vector layout (see make_telemetry)
@@ -99,7 +108,10 @@ TEL_MAP_POINTS = 38
 TEL_MAP_BUCKETS = 39
 TEL_MAP_DROPPED = 40            # cumulative saturation drops (hashgrid.insert)
 TEL_DELTA_NORM = 41
-TELEMETRY_DIM = 42
+TEL_ANCHOR_T = 42               # rebased anchor time after this step — the
+                                # host's (lagged) lower bound for selecting
+                                # the next IMU path windows
+TELEMETRY_DIM = 43
 
 
 @partial(jax.jit, static_argnames=("static_cfg", "grid"), donate_argnums=(0,))
@@ -137,7 +149,7 @@ def mapping_step(
 
 def make_telemetry(
     enough, ds_count, diag: UpdateDiagnostics, x_new: NavState,
-    m_new: HashGridMap, map_axis: str | None = None,
+    m_new: HashGridMap, anchor_t=None, map_axis: str | None = None,
 ) -> jnp.ndarray:
     """(TELEMETRY_DIM,) f32 — the single per-step readback buffer (TEL_*
     indices above).  Carries everything the host bookkeeping + observability
@@ -170,8 +182,23 @@ def make_telemetry(
         so3.log(x_new.R_LI).astype(jnp.float32),
         x_new.t_LI.astype(jnp.float32),
         jnp.stack([map_pts, map_bks, map_drop,
-                   diag.delta_norm.astype(jnp.float32)]),
+                   diag.delta_norm.astype(jnp.float32),
+                   jnp.asarray(-1.0 if anchor_t is None else anchor_t,
+                               jnp.float32).reshape(())]),
     ])
+
+
+def _derive_anchor_controls(inp: StepInputs, path_mask: jnp.ndarray):
+    """Controls at the anchor = the first IMU sample after anchor_t
+    (`Accumulator::get_next_imu` semantics, Accumulator.cpp:74-80) — derived
+    ON DEVICE from the path window so the host may pass a SUPERSET window
+    selected from a stale (lagged) anchor lower bound.  Falls back to the
+    host-provided inp.anchor_a/anchor_w when the window holds no sample."""
+    any_valid = jnp.any(path_mask)
+    first = jnp.argmax(path_mask)
+    a = jnp.where(any_valid, inp.imus_path.a[first], inp.anchor_a)
+    w = jnp.where(any_valid, inp.imus_path.w[first], inp.anchor_w)
+    return a, w
 
 
 def _lio_step_core(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams) -> StepOutputs:
@@ -179,7 +206,14 @@ def _lio_step_core(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams
     x_pred, P_pred = predict_window(inp.x, inp.P, inp.imus_filter, inp.t_integrated, inp.Q)
 
     # ---- Step 1b: motion deskew (Compensator::compensate) ----
-    path = build_path(inp.anchor, inp.anchor_t, inp.anchor_a, inp.anchor_w, inp.imus_path)
+    # mask the path window to strictly-after-anchor samples: build_path's
+    # integration assumes every valid entry follows the anchor, and the host
+    # may deliver a superset window when its anchor knowledge lags (the
+    # depth-K readback pipeline — see StepOutputs.anchor)
+    path_mask = inp.imus_path.mask & (inp.imus_path.t > inp.anchor_t)
+    imus_path = inp.imus_path._replace(mask=path_mask)
+    anchor_a, anchor_w = _derive_anchor_controls(inp, path_mask)
+    path = build_path(inp.anchor, inp.anchor_t, anchor_a, anchor_w, imus_path)
     pts_l2 = compensate(path, inp.anchor, inp.t2, inp.pts, inp.pts_t, inp.pts_mask)
 
     # ---- Step 1c: spatial downsample (Compensator::downsample) ----
@@ -204,7 +238,14 @@ def _lio_step_core(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams
     # full-resolution window in world frame, for publishing / offline mapping
     g_full = jnp.einsum("ij,nj->ni", R_wl, pts_l2) + t_wl
 
-    telemetry = make_telemetry(enough, ds.count, diag, x_new, m_new)
+    # anchor threading (BUFFER_X head): advances to the corrected state when
+    # the window updated, else carries the previous anchor — all on device
+    anchor_new = jax.tree.map(lambda n, o: jnp.where(enough, n, o), x_new, inp.anchor)
+    anchor_t_new = jnp.where(enough, jnp.asarray(inp.t2, jnp.float32),
+                             jnp.asarray(inp.anchor_t, jnp.float32))
+
+    telemetry = make_telemetry(enough, ds.count, diag, x_new, m_new,
+                               anchor_t=anchor_t_new)
 
     return StepOutputs(
         x=x_new,
@@ -219,6 +260,8 @@ def _lio_step_core(inp: StepInputs, m: HashGridMap, static_cfg, grid: GridParams
         global_ds_idx=ds.idx,
         diag=diag,
         telemetry=telemetry,
+        anchor=anchor_new,
+        anchor_t=anchor_t_new,
     )
 
 
@@ -277,13 +320,18 @@ def _unpack_imus(buf, off, n):
 @partial(
     jax.jit,
     static_argnames=("n_pts", "n_imu_f", "n_imu_p", "static_cfg", "grid"),
-    donate_argnums=(5,),
+    donate_argnums=(6,),
 )
 def lio_step_packed(
     packed: jnp.ndarray,        # (9 + 8*(If+Ip) + 5*B,) f32
     x: NavState,
     P: jnp.ndarray,
     anchor: NavState,
+    anchor_t: jnp.ndarray,      # () device scalar, threaded from the previous
+                                # step's out.anchor_t (packed[0] is only the
+                                # host's stale lower bound used to SELECT the
+                                # path window; the true anchor time lives on
+                                # device — see StepOutputs.anchor)
     Q: jnp.ndarray,
     m: HashGridMap,
     dyn,
@@ -303,7 +351,7 @@ def lio_step_packed(
 
     inp = StepInputs(
         anchor=anchor,
-        anchor_t=packed[0],
+        anchor_t=anchor_t,
         anchor_a=packed[3:6],
         anchor_w=packed[6:9],
         x=x,

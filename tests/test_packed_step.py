@@ -76,7 +76,7 @@ def test_packed_equals_unpacked():
     # rebuild the map (lio_step donated it)
     _, _, _, _, m2, _ = _inputs()
     out_pk = lio_step_packed(
-        jnp.asarray(packed), x, P, x, Q, m2, dyn,
+        jnp.asarray(packed), x, P, x, jnp.float32(h["anchor_t"]), Q, m2, dyn,
         n_pts=len(h["pts"]), n_imu_f=len(h["imu"][0]), n_imu_p=len(h["imu"][0]),
         static_cfg=static, grid=grid,
     )
@@ -100,7 +100,7 @@ def test_telemetry_layout():
         h["imu"], h["imu"], h["pts"], h["pts_t"], h["pts_mask"],
     )
     out = lio_step_packed(
-        jnp.asarray(packed), x, P, x, Q, m, dyn,
+        jnp.asarray(packed), x, P, x, jnp.float32(h["anchor_t"]), Q, m, dyn,
         n_pts=len(h["pts"]), n_imu_f=len(h["imu"][0]), n_imu_p=len(h["imu"][0]),
         static_cfg=cfg.static(), grid=grid,
     )
