@@ -95,6 +95,57 @@ def main():
     print(f"verdict: {'PALLAS WINS' if pallas_ms < xla_ms else 'XLA WINS'} "
           f"({xla_ms/pallas_ms:.2f}x)" if pallas_ms == pallas_ms else "verdict: kernel broken")
 
+    # ------------------------------------------------------------------
+    # PRODUCTION envelope (VERDICT r3 #6): voxel-downsampled window,
+    # derived rings=3 + max_buckets=32 tier — the racing/KITTI setting.
+    # Timing before any readback (this process is already poisoned by the
+    # agreement checks above, so absolute numbers here are only comparable
+    # to each other via amortized unblocked dispatch).
+    # ------------------------------------------------------------------
+    from limovelo_tpu.ops.voxel import voxel_downsample
+
+    ds = voxel_downsample(jnp.asarray(q), jnp.arange(N) < take, jnp.float32(0.5))
+    ds_pts = np.asarray(ds.pts)
+    ds_msk = np.asarray(ds.mask)
+    nq = 2048
+    qd = np.zeros((nq, 3), np.float32)
+    sel = np.nonzero(ds_msk)[0][:nq]
+    qd[: len(sel)] = ds_pts[sel]
+    queries_d = jnp.asarray(qd)
+    voxd = np.unique(np.floor(qd[: len(sel)] / grid.coarse_size).astype(np.int64), axis=0)
+    print(f"\nproduction regime: {len(sel)} ds-queries over {len(voxd)} "
+          f"coarse voxels -> {len(sel)/max(len(voxd),1):.1f} queries/voxel, "
+          f"rings=3 max_buckets=32")
+
+    def amortized(fn, *args, reps=50):
+        out = fn(*args)
+        jax.block_until_ready(out[1])
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(reps)]
+        jax.block_until_ready(outs[-1][1])
+        return (time.perf_counter() - t0) / reps * 1e3, outs[-1]
+
+    knn3_jit = jax.jit(lambda mm, qq: knn(mm, qq, grid, k=5, rings=3,
+                                          max_buckets=32))
+    xla3_ms, o0 = amortized(knn3_jit, m, queries_d)
+    try:
+        pal3_jit = jax.jit(lambda mm, qq: knn_grouped(
+            mm, qq, grid, k=5, g_max=1400, rings=3, max_buckets=32))
+        pal3_ms, o1 = amortized(pal3_jit, m, queries_d)
+        both = np.asarray(o0[2]) & np.asarray(o1[2])
+        agree3 = float(np.mean(np.isclose(np.asarray(o0[1])[both],
+                                          np.asarray(o1[1])[both], atol=1e-4)))
+    except Exception as e:
+        print(f"pallas tiered path failed: {type(e).__name__}: {e}")
+        pal3_ms, agree3 = float("nan"), 0.0
+    print(f"XLA knn (rings=3, mb=32):    amortized = {xla3_ms:.3f} ms")
+    print(f"Pallas tiered knn_grouped:   amortized = {pal3_ms:.3f} ms   "
+          f"(d2 agreement on overlap: {agree3*100:.2f}%)")
+    if pal3_ms == pal3_ms:
+        print(f"production verdict: "
+              f"{'PALLAS WINS' if pal3_ms < xla3_ms else 'XLA WINS'} "
+              f"({xla3_ms/pal3_ms:.2f}x)")
+
 
 if __name__ == "__main__":
     main()

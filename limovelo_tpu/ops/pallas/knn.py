@@ -72,16 +72,27 @@ from ...mapping.hashgrid import (
 )
 
 GROUP_CAP = 64        # queries per group (splitting large voxel groups)
-NEIGHBORS = 27        # 3³ buckets
+NEIGHBORS = 27        # 3³ buckets (the 1-ring envelope; see `group_queries`)
 VALID_D2_MAX = 1.0e16  # any true candidate is closer; sentinel slots are ~1e18
 
 
-def group_queries(m: HashGridMap, queries: jnp.ndarray, params: GridParams, g_max: int):
+def group_queries(m: HashGridMap, queries: jnp.ndarray, params: GridParams,
+                  g_max: int, rings: int = 1, max_buckets: int | None = None):
     """Sort queries by coarse voxel, pack into ≤GROUP_CAP groups, resolve
     neighbor buckets per group.
 
+    `rings`/`max_buckets` extend the envelope to the PRODUCTION setting
+    (derived rings covering MAX_DIST_PLANE + tiered bucket budget,
+    mapping.knn's exact-on-sparse-maps argument): the (2r+1)³ neighborhood is
+    reduced to the `max_buckets` nearest OCCUPIED buckets by AABB
+    lower-bound distance from the GROUP's leader-voxel center (the XLA path
+    tiers per query; co-voxel queries differ from the leader center by at
+    most half a coarse voxel, and on the sparse maps where wide rings matter
+    the occupied-bucket count is below the budget anyway — recall vs the
+    exact oracle is regression-tested in tests/test_pallas_knn.py).
+
     Returns:
-      bucket_ids  (g_max, 27) int32  — neighbor buckets per group (-1 absent)
+      bucket_ids  (g_max, NB) int32  — neighbor buckets per group (-1 absent)
       group_of    (N,) int32         — group index per original query (-1 ⇒
                                         overflowed g_max: no result)
       rank_of     (N,) int32         — slot within group per original query
@@ -115,10 +126,22 @@ def group_queries(m: HashGridMap, queries: jnp.ndarray, params: GridParams, g_ma
     group_active = jnp.zeros((g_max,), bool).at[
         jnp.where(new_group & in_range, gid_c, g_max)
     ].set(True, mode="drop")
-    offs = jnp.asarray(_neighbor_offsets(1))                    # (27,3)
+    offs = jnp.asarray(_neighbor_offsets(rings))                # (V,3)
     nb_coords = leader_coarse[:, None, :] + offs[None, :, :]
-    bucket_ids = _lookup_buckets(m.keys, nb_coords, params)     # (g_max,27)
+    bucket_ids = _lookup_buckets(m.keys, nb_coords, params)     # (g_max,V)
     bucket_ids = jnp.where(group_active[:, None], bucket_ids, -1)
+
+    if max_buckets is not None and max_buckets < bucket_ids.shape[1]:
+        # group-level tier: keep the budgeted nearest occupied buckets by
+        # AABB lower-bound distance from the leader-voxel center
+        cs = params.coarse_size
+        lo = nb_coords.astype(queries.dtype) * cs               # (g_max,V,3)
+        ctr = (leader_coarse.astype(queries.dtype) + 0.5) * cs  # (g_max,3)
+        clamped = jnp.clip(ctr[:, None, :], lo, lo + cs)
+        d_lb = jnp.sum((clamped - ctr[:, None, :]) ** 2, axis=-1)
+        d_lb = jnp.where(bucket_ids >= 0, d_lb, jnp.inf)
+        _, sel = jax.lax.top_k(-d_lb, max_buckets)              # (g_max,NB)
+        bucket_ids = jnp.take_along_axis(bucket_ids, sel, axis=1)
 
     # scatter queries into group slots (vacant slots hold FAR so their
     # nearest candidate is never "valid" — they're padding, results unused)
@@ -144,17 +167,17 @@ def group_queries(m: HashGridMap, queries: jnp.ndarray, params: GridParams, g_ma
     return bucket_ids, group_of, rank_of, order_q, centers
 
 
-def _knn_kernel(*refs, k: int, slots: int):
-    (bucket_ids_ref,   # (g_max, 27) SMEM (scalar prefetch)
+def _knn_kernel(*refs, k: int, slots: int, nb: int):
+    (bucket_ids_ref,   # (g_max, nb) SMEM (scalar prefetch)
      queries_ref,      # (1, GROUP_CAP, 3) VMEM (blocked per group)
      centers_ref) = refs[:3]  # (1, 1, 3) VMEM — per-group recenter offset
-    bucket_refs = refs[3:3 + NEIGHBORS]  # 27× (1, S, 3) VMEM — the group's
-                                         # neighbor buckets, DMA'd by the
-                                         # pipeline via scalar-prefetched
-                                         # index maps (no manual DMA: a
-                                         # (...,3) array cannot be memref-
-                                         # sliced under the 128-lane tiling)
-    sq_out, idx_out = refs[3 + NEIGHBORS:]  # (1, GROUP_CAP, k); idx flat nb*S+slot
+    bucket_refs = refs[3:3 + nb]  # nb× (1, S, 3) VMEM — the group's
+                                  # neighbor buckets, DMA'd by the
+                                  # pipeline via scalar-prefetched
+                                  # index maps (no manual DMA: a
+                                  # (...,3) array cannot be memref-
+                                  # sliced under the 128-lane tiling)
+    sq_out, idx_out = refs[3 + nb:]  # (1, GROUP_CAP, k); idx flat nb*S+slot
 
     g = pl.program_id(0)
     center = centers_ref[0]                                # (1,3)
@@ -163,10 +186,10 @@ def _knn_kernel(*refs, k: int, slots: int):
     # absent buckets were clamped to row 0 by the index map; poison their
     # candidates with the FAR sentinel so they lose every distance contest
     cands = []
-    for i in range(NEIGHBORS):
+    for i in range(nb):
         bid = bucket_ids_ref[g, i]
         cands.append(jnp.where(bid >= 0, bucket_refs[i][0], FAR))
-    pts = jnp.concatenate(cands, axis=0) - center          # (V,3), V = 27*S
+    pts = jnp.concatenate(cands, axis=0) - center          # (V,3), V = nb*S
 
     # ‖q−p‖² = ‖q‖² + [q,1]·[−2p,‖p‖²]ᵀ  — one MXU matmul, no transposes
     C = q.shape[0]
@@ -189,24 +212,30 @@ def _knn_kernel(*refs, k: int, slots: int):
         d2 = jnp.where(col == arg[:, None], big, d2)
 
 
-@partial(jax.jit, static_argnames=("params", "k", "g_max", "interpret"))
+@partial(jax.jit, static_argnames=("params", "k", "g_max", "rings",
+                                   "max_buckets", "interpret"))
 def knn_grouped(
     m: HashGridMap,
     queries: jnp.ndarray,
     params: GridParams,
     k: int = 5,
     g_max: int | None = None,
+    rings: int = 1,
+    max_buckets: int | None = None,
     interpret: bool = False,
 ):
-    """Drop-in replacement for `mapping.knn` (1-ring) using the Pallas kernel."""
+    """Drop-in replacement for `mapping.knn` using the Pallas grouped-DMA
+    kernel — 1-ring by default; `rings`/`max_buckets` select the production
+    tiered envelope (group-level tier, see `group_queries`)."""
     N = queries.shape[0]
     if g_max is None:
         g_max = max(N // 4, 64)
     S = params.slots
 
     bucket_ids, group_of, rank_of, order_q, centers = group_queries(
-        m, queries, params, g_max
+        m, queries, params, g_max, rings=rings, max_buckets=max_buckets
     )
+    NB = int(bucket_ids.shape[1])
 
     def bucket_spec(j):
         # block row chosen by the scalar-prefetched bucket id (clamped; the
@@ -223,7 +252,7 @@ def knn_grouped(
         in_specs=[
             pl.BlockSpec((1, GROUP_CAP, 3), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 3), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM),
-        ] + [bucket_spec(j) for j in range(NEIGHBORS)],
+        ] + [bucket_spec(j) for j in range(NB)],
         out_specs=[
             pl.BlockSpec((1, GROUP_CAP, k), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GROUP_CAP, k), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM),
@@ -231,14 +260,14 @@ def knn_grouped(
     )
 
     sq_g, idx_g = pl.pallas_call(
-        partial(_knn_kernel, k=k, slots=S),
+        partial(_knn_kernel, k=k, slots=S, nb=NB),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((g_max, GROUP_CAP, k), jnp.float32),
             jax.ShapeDtypeStruct((g_max, GROUP_CAP, k), jnp.int32),
         ],
         interpret=interpret,
-    )(bucket_ids, order_q, centers, *([m.pts] * NEIGHBORS))
+    )(bucket_ids, order_q, centers, *([m.pts] * NB))
 
     # gather winning coordinates + un-permute to query order (XLA post-pass)
     ok = group_of >= 0

@@ -88,3 +88,67 @@ def test_empty_map_all_invalid(rng, params):
     q = jnp.asarray(rng.uniform(-5, 5, (128, 3)).astype(np.float32))
     nb, sq, valid = knn_grouped(m, q, params, k=5, g_max=128, interpret=True)
     assert not np.asarray(valid).any()
+
+
+def test_tiered_rings3_recall_vs_exact(rng, params):
+    """Production envelope (rings=3, max_buckets=32) on a SPARSE map where
+    1-ring misses true neighbors: the group-tiered kernel must reach the
+    same ≥99.5% recall bar as the XLA tiered path (tests/test_knn_fidelity
+    standard)."""
+    n = 1500
+    world = np.stack([
+        rng.uniform(-40, 40, n), rng.uniform(-40, 40, n),
+        rng.normal(0, 1.0, n),
+    ], -1).astype(np.float32)
+    m = make_map(params)
+    m = insert(m, jnp.asarray(world), jnp.ones(n, bool), params)
+    nq = 256
+    q = np.stack([
+        rng.uniform(-30, 30, nq), rng.uniform(-30, 30, nq),
+        rng.normal(0, 1.0, nq),
+    ], -1).astype(np.float32)
+
+    gate = 2.0  # MAX_DIST_PLANE
+    nb1, sq1, v1 = knn_grouped(m, jnp.asarray(q), params, k=5, g_max=256,
+                               rings=3, max_buckets=32, interpret=True)
+    # exact oracle
+    d2 = ((q[:, None, :] - world[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :5]
+    od2 = np.take_along_axis(d2, idx, axis=1)
+    want = od2[od2 <= gate * gate]
+    got = np.asarray(sq1)
+    gv = np.asarray(v1) & (got <= gate * gate)
+    hits = 0
+    for i in range(nq):
+        g = np.sort(got[i][gv[i]])
+        w = np.sort(od2[i][od2[i] <= gate * gate])
+        j = 0
+        for wv in w:
+            while j < len(g) and g[j] < wv - 1e-4:
+                j += 1
+            if j < len(g) and abs(g[j] - wv) <= 1e-4:
+                hits += 1
+                j += 1
+    recall = hits / max(len(want), 1)
+    assert recall >= 0.995, f"tiered rings=3 recall {recall:.4f}"
+
+
+def test_tiered_matches_xla_on_dense(rng, params):
+    """On the dense scan-like map the tiered rings=3 kernel must agree with
+    the XLA tiered path for every valid pair (same budget semantics)."""
+    m, world = _populated_map(rng, params)
+    q = jnp.asarray(
+        (world[rng.choice(len(world), 256, replace=False)]
+         + rng.normal(0, 0.05, (256, 3))).astype(np.float32)
+    )
+    nb0, sq0, v0 = knn(m, q, params, k=5, rings=3, max_buckets=32)
+    nb1, sq1, v1 = knn_grouped(m, q, params, k=5, g_max=256, rings=3,
+                               max_buckets=32, interpret=True)
+    # the tier bases differ (per-query vs per-group): compare distances of
+    # the agreed-valid pairs — the k-NN sets must match to the gate on this
+    # dense scene, where both budgets are effectively exhaustive locally
+    v = np.asarray(v0) & np.asarray(v1)
+    np.testing.assert_allclose(
+        np.asarray(sq0)[v], np.asarray(sq1)[v], rtol=0, atol=1e-4
+    )
+    assert v.mean() > 0.95
