@@ -23,13 +23,12 @@ def _load_config(args, default_profile="default"):
     fallback when no --config is given: the kitti command must default to
     the KITTI profile (gravity sign, extrinsics — config/kitti.yaml) rather
     than DEFAULT, mirroring how `launch/kitti.launch` loads its own YAML."""
-    from limovelo_tpu import DEFAULT, KITTI, Config
+    from limovelo_tpu import Config
+    from limovelo_tpu.config import PROFILES
 
     name = args.config if args.config is not None else default_profile
-    if name == "kitti":
-        cfg = KITTI
-    elif name == "default":
-        cfg = DEFAULT
+    if name in PROFILES:
+        cfg = PROFILES[name]
     else:
         cfg = Config.from_yaml(name)
     overrides = {}
@@ -182,6 +181,15 @@ def main(argv=None):
     sp = sub.add_parser("eval", help="regenerate EVAL.md (accuracy battery)")
     sp.add_argument("--out", default="EVAL.md")
     sp.add_argument("--fast", action="store_true", help="shorter durations")
+    sp.add_argument("--kitti-root", default=None,
+                    help="KITTI raw *_sync drive: run the real-data parity "
+                         "protocol (GT from OXTS unless --gt)")
+    sp.add_argument("--bag", default=None,
+                    help="ROS1 bag: real-data parity protocol (needs --gt)")
+    sp.add_argument("--gt", default=None, help="TUM ground-truth file")
+    sp.add_argument("--max-scans", type=int, default=None)
+    sp.add_argument("--skip-battery", action="store_true",
+                    help="only run the real-data rows (no synthetic battery)")
 
     sp = sub.add_parser("viz", help="visualization tools (no device needed)")
     viz_sub = sp.add_subparsers(dest="viz_cmd", required=True)
@@ -199,10 +207,25 @@ def main(argv=None):
     if args.cmd == "viz":
         return _viz_main(args)
     if args.cmd == "eval":
-        from limovelo_tpu.runtime.evalsuite import run_eval, write_eval_md
+        from limovelo_tpu.runtime.evalsuite import (run_eval, run_real_eval,
+                                                    write_eval_md)
 
+        real_rows = None
+        if args.kitti_root or args.bag:
+            real_rows = run_real_eval(
+                kitti_root=args.kitti_root, bag=args.bag, gt_tum=args.gt,
+                max_scans=args.max_scans,
+            )
+            for r in real_rows:
+                print(f"[real] {r.scenario}: ATE {r.ate_m:.4f} m, "
+                      f"{r.updates} updates, {r.update_hz:.1f} Hz  ({r.note})")
+        if args.skip_battery:
+            if not real_rows:
+                raise SystemExit("--skip-battery without --kitti-root/--bag: "
+                                 "nothing to do")
+            return
         rows = run_eval(fast=args.fast)
-        print(write_eval_md(rows, args.out))
+        print(write_eval_md(rows, args.out, real_rows=real_rows))
         print(f"table → {args.out}")
         return
     # resolve the FULL config (per-command default profile + CLI overrides +

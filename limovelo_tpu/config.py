@@ -10,7 +10,8 @@ the reference does not need.  Unlike the reference — which mutates the global
 fallback is explicit state in the runtime (see runtime/accumulator.py).
 
 Per-dataset YAML profiles (config/*.yaml in the reference) are supported via
-``Config.from_yaml`` and shipped under ``limovelo_tpu/profiles/``.
+``Config.from_yaml``; the built-in dataset profiles (KITTI / XALOC / OUSTER /
+DEFAULT) ship as Python constants in this module — see ``PROFILES`` below.
 """
 
 from __future__ import annotations
@@ -199,8 +200,20 @@ class Config:
 
     # --- Initial extrinsic covariance (Localizator.cpp:148-156 uses 1e-5:
     #     a refinement prior that assumes the config extrinsics are nearly
-    #     right).  Raise for online calibration from a coarse guess. ---
-    initial_cov_extrinsic_rot: float = 1e-5
+    #     right).  Raise for online calibration from a coarse guess.
+    #
+    #     `initial_cov_extrinsic_rot` may be a per-axis 3-tuple in the
+    #     LiDAR-frame tangent (roll, pitch, yaw).  With a self-built map,
+    #     extrinsic YAW is gauge-degenerate with global yaw whenever the
+    #     body's angular motion is mostly about gravity (the pair only
+    #     enters through the product R·R_LI, and a yaw offset commutes with
+    #     yaw-only motion), so a wide isotropic prior lets the pair random-
+    #     walk together while roll/pitch — pinned through gravity — are the
+    #     directions online calibration can actually observe.  The
+    #     recommended online-calibration setting is therefore anisotropic:
+    #     wide roll/pitch, near-frozen yaw (trust the CAD yaw), e.g.
+    #     (1e-4, 1e-4, 1e-8).  See tests/test_racing.py. ---
+    initial_cov_extrinsic_rot: object = 1e-5   # float | (roll, pitch, yaw)
     initial_cov_extrinsic_trans: float = 1e-5
 
     # --- Velocity multipliers (main.cpp:165-167; unused in ref pipeline) ---
@@ -489,3 +502,12 @@ DEFAULT = Config(
     PLANES_THRESHOLD=5e-2,
     Initialization=InitializationParams(times=(0.5, 1.0), deltas=(0.1, 0.05, 0.02)),
 )
+
+#: name → profile lookup for the CLI (`--config kitti|xaloc|ouster|default`);
+#: any other value is treated as a YAML path (`Config.from_yaml`)
+PROFILES = {
+    "kitti": KITTI,
+    "xaloc": XALOC,
+    "ouster": OUSTER,
+    "default": DEFAULT,
+}

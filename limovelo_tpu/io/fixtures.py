@@ -103,20 +103,32 @@ def write_kitti_drive(
             f_mid.write(_fmt_kitti_stamp(scan.stamp + rot / 2) + "\n")
             f_e.write(_fmt_kitti_stamp(scan.stamp + rot) + "\n")
 
-    # OXTS: 30-field records; the reader consumes roll/pitch/yaw (3:6),
-    # body accelerations (11:14) and body rates (17:20)
+    # OXTS: 30-field records; the reader consumes lat/lon/alt (0:3 — the
+    # GPS ground-truth channel `oxts_trajectory` inverts via the devkit
+    # mercator projection), roll/pitch/yaw (3:6), body accelerations (11:14)
+    # and body rates (17:20).  lat/lon are synthesized by the INVERSE of the
+    # devkit formula around a KITTI-plausible origin so the real GT-derivation
+    # path is exercised end-to-end.
     g_world = np.array(config.gravity_vec, np.float64)
+    lat0 = np.deg2rad(49.0)
+    er = 6378137.0
+    scale = np.cos(lat0)
     with open(os.path.join(oxts, "timestamps.txt"), "w") as f_t:
         for i, t in enumerate(sim.imu_t):
-            R_b, _ = traj.pose(t)
+            R_b, p_b = traj.pose(t)
             roll, pitch, yaw = Rsc.from_matrix(R_b).as_euler("xyz")
             rec = np.zeros(30)
+            # inverse mercator: x=scale·er·lon, y=scale·er·ln(tan(π/4+lat/2))
+            y0 = scale * er * np.log(np.tan(np.pi / 4 + lat0 / 2))
+            lon = p_b[0] / (scale * er)
+            lat = 2 * np.arctan(np.exp((p_b[1] + y0) / (scale * er))) - np.pi / 2
+            rec[0:3] = (np.degrees(lat), np.degrees(lon), p_b[2])
             rec[3:6] = (roll, pitch, yaw)
             rec[11:14] = sim.imu_a[i]
             rec[17:20] = sim.imu_w[i]
             np.savetxt(
                 os.path.join(oxts, "data", f"{i:010d}.txt"),
-                rec[None], fmt="%.9f",
+                rec[None], fmt="%.12f",
             )
             f_t.write(_fmt_kitti_stamp(t) + "\n")
     return sim

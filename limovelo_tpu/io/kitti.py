@@ -19,6 +19,7 @@ kitti2bag-produced clouds carry.
 from __future__ import annotations
 
 import datetime as _dt
+import math
 import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
@@ -147,3 +148,32 @@ def feed_pipeline(pipe, reader: KittiRawReader, config, max_scans: Optional[int]
         n_scans += 1
         if max_scans is not None and n_scans >= max_scans:
             break
+
+
+def oxts_trajectory(reader: "KittiRawReader"):
+    """Ground-truth trajectory from the drive's OXTS GPS/INS channel —
+    the KITTI raw devkit's `convertOxtsToPose` mercator projection
+    (`loadOxtsliteData`/`convertOxtsToPose` in the devkit; the raw bags the
+    reference replays, `/root/reference/config/kitti.yaml:3`).
+
+    Returns (t (M,) f64, R (M,3,3) f32, p (M,3) f64) in a local ENU frame
+    anchored at the first record (ATE alignment removes the remaining
+    gauge).  Works on any *_sync drive — this is the `eval --kitti-root`
+    ground-truth source when no odometry-benchmark pose file is supplied."""
+    from scipy.spatial.transform import Rotation as Rsc
+
+    ts, Rs, ps = [], [], []
+    scale = None
+    for rec in reader.imu():
+        if scale is None:
+            scale = math.cos(math.radians(rec.lat))
+        er = 6378137.0
+        x = scale * er * math.radians(rec.lon)
+        y = scale * er * math.log(math.tan(math.pi / 4 + math.radians(rec.lat) / 2))
+        ts.append(rec.t)
+        ps.append((x, y, rec.alt))
+        Rs.append(Rsc.from_euler("xyz", (rec.roll, rec.pitch, rec.yaw)).as_matrix())
+    t = np.asarray(ts, np.float64)
+    p = np.asarray(ps, np.float64)
+    p -= p[0]
+    return t, np.asarray(Rs, np.float32), p

@@ -203,7 +203,124 @@ def run_eval(fast: bool = False) -> List[EvalRow]:
     return rows
 
 
-def write_eval_md(rows: List[EvalRow], path: str = "EVAL.md") -> str:
+def run_real_eval(
+    kitti_root: Optional[str] = None,
+    bag: Optional[str] = None,
+    gt_tum: Optional[str] = None,
+    config=None,
+    max_scans: Optional[int] = None,
+) -> List[EvalRow]:
+    """Real-dataset parity protocol (`eval --kitti-root ... / --bag ...`).
+
+    Runs the FULL pipeline over on-disk data through the production reader
+    paths and scores ATE against ground truth:
+
+    - ``kitti_root``: a KITTI raw ``*_sync`` drive dir (the reference's KITTI
+      reproduction target, `config/kitti.yaml:3,8-9`).  Ground truth comes
+      from ``gt_tum`` if given, else is derived from the drive's own OXTS
+      GPS/INS channel (`io/kitti.oxts_trajectory`, devkit mercator).
+    - ``bag``: a ROS1 bag (the Xaloc slow/fast protocol, README.md:70-77);
+      ``gt_tum`` (TUM `t x y z qx qy qz qw`) is required — racing bags carry
+      no GPS.
+
+    Proven end-to-end on in-repo same-format fixtures
+    (tests/test_real_eval.py); see EVAL.md §Real data for what could and
+    could not run in this environment.
+    """
+    import time as _time
+
+    from .evaluate import ate_rmse
+    from .pipeline import LioPipeline
+
+    rows: List[EvalRow] = []
+
+    def _score(name, pipe, gt_t, gt_R, gt_p, wall, note=""):
+        res = pipe.result
+        rmse, _ = ate_rmse(res.times, res.positions, gt_t, gt_R, gt_p)
+        span = res.times[-1] - res.times[0] if len(res.records) > 1 else 1.0
+        rows.append(EvalRow(
+            scenario=name, ate_m=float(rmse), updates=len(res.records),
+            update_hz=(len(res.records) - 1) / max(span, 1e-9),
+            map_points=int(res.records[-1].map_points) if res.records else 0,
+            wall_s=wall, note=note,
+        ))
+
+    def _load_tum(path):
+        d = np.loadtxt(path)
+        from scipy.spatial.transform import Rotation as Rsc
+
+        return (d[:, 0], Rsc.from_quat(d[:, 4:8]).as_matrix().astype(np.float32),
+                d[:, 1:4])
+
+    if kitti_root:
+        from limovelo_tpu.config import KITTI
+        from limovelo_tpu.io.kitti import (KittiRawReader, feed_pipeline,
+                                           oxts_trajectory)
+
+        cfg = config or KITTI
+        reader = KittiRawReader(kitti_root)
+        if gt_tum:
+            gt_t, gt_R, gt_p = _load_tum(gt_tum)
+            gt_note = "GT: " + gt_tum
+        else:
+            gt_t, gt_R, gt_p = oxts_trajectory(reader)
+            gt_note = "GT: OXTS mercator"
+        pipe = LioPipeline(cfg)
+        t0 = _time.perf_counter()
+        feed_pipeline(pipe, reader, cfg, max_scans=max_scans)
+        pipe.flush()
+        _score(f"KITTI raw · {kitti_root.rstrip('/').rsplit('/', 1)[-1]}",
+               pipe, gt_t, gt_R, gt_p, _time.perf_counter() - t0, gt_note)
+
+    if bag:
+        from limovelo_tpu.config import XALOC
+        from limovelo_tpu.io.rosbag import feed_pipeline as feed_bag
+
+        if not gt_tum:
+            raise SystemExit("--bag scoring needs --gt <tum file> "
+                             "(racing bags carry no GPS ground truth)")
+        cfg = config or XALOC
+        gt_t, gt_R, gt_p = _load_tum(gt_tum)
+        pipe = LioPipeline(cfg)
+        t0 = _time.perf_counter()
+        feed_bag(pipe, bag, cfg)
+        pipe.flush()
+        _score(f"rosbag · {bag.rsplit('/', 1)[-1]}", pipe, gt_t, gt_R, gt_p,
+               _time.perf_counter() - t0, "GT: " + gt_tum)
+
+    return rows
+
+
+REAL_DATA_NOTE = """## Real data
+
+The reference's quantitative targets are KITTI seq 00 and the public Xaloc
+`slow`/`fast` rosbags (BASELINE.json; `/root/reference/config/kitti.yaml:3,8-9`,
+`README.md:70-77`).  **Those datasets cannot enter this environment** (the
+container has zero network egress and no KITTI/Xaloc files are baked in), so
+the rows above come from the synthetic battery plus same-format fixtures that
+exercise the REAL reader/decoder/GT paths end to end
+(`io/fixtures.write_kitti_drive` / `write_rosbag` → `io/kitti.py` /
+`io/rosbag.py`; regression-locked by tests/test_real_eval.py).
+
+Where the datasets ARE available, the one-command protocol is:
+
+```
+# KITTI raw drive (GT auto-derived from the drive's OXTS via the devkit
+# mercator projection, or pass --gt <poses.tum>):
+python -m limovelo_tpu eval --kitti-root /data/2011_10_03/2011_10_03_drive_0027_sync
+
+# Xaloc bag (TUM ground truth required):
+python -m limovelo_tpu eval --bag xaloc_fast.bag --gt xaloc_fast_gt.tum
+```
+
+Both paths append their rows to this file's table and use the same ATE
+scoring (`runtime/evaluate.ate_rmse`, Umeyama-aligned) as every synthetic
+row, so the numbers are directly comparable.
+"""
+
+
+def write_eval_md(rows: List[EvalRow], path: str = "EVAL.md",
+                  real_rows: Optional[List[EvalRow]] = None) -> str:
     import datetime
 
     lines = [
@@ -226,7 +343,19 @@ def write_eval_md(rows: List[EvalRow], path: str = "EVAL.md") -> str:
         "tighter bounds in the corresponding test files; the room-circle and",
         "dataset-format paths typically land at centimeter level.",
         "",
+        REAL_DATA_NOTE,
     ]
+    if real_rows:
+        lines += [
+            "### Measured on local data this run",
+            "",
+            "| dataset | ATE RMSE (m) | updates | update rate (Hz) | note |",
+            "|---|---|---|---|---|",
+        ]
+        for r in real_rows:
+            lines.append(f"| {r.scenario} | {r.ate_m:.4f} | {r.updates} "
+                         f"| {r.update_hz:.1f} | {r.note} |")
+        lines.append("")
     text = "\n".join(lines)
     with open(path, "w") as f:
         f.write(text)
