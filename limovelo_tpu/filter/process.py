@@ -40,6 +40,11 @@ from ..geometry.state import (
 
 NOISE_DIM = 12  # (gyro, acc, bias-gyro, bias-acc), Localizator.cpp:164-168
 
+#: largest IMU window the filter replay fully unrolls (no loop primitive in
+#: the compiled program); covers every production imu_bucket — see the
+#: policy note in `predict_window`
+UNROLL_MAX = 64
+
 
 class ImuWindow(NamedTuple):
     """Padded IMU batch covering (last_integrated, t2]; newest last.
@@ -148,7 +153,16 @@ def predict_window(
 
     M = int(imus.t.shape[0])
     carry = (x, P, jnp.asarray(t0, x.p.dtype))
-    if M <= 64:
+    # UNROLL_MAX policy (ADVICE r3): the production configs bucket filter
+    # windows at ≤64 IMUs (Config.imu_buckets default; at 200 Hz IMU and the
+    # 100 Hz/10 Hz localization cadences a window holds 2-25 samples, and
+    # 64 covers the slowest KITTI offline windows), so the unrolled form IS
+    # the production path.  Larger buckets are the explicit opt-out for
+    # non-real-time replays: they fall back to lax.scan and accept the flat
+    # per-loop-primitive penalty on pathological host-driven runtimes
+    # (BENCH.md r03) in exchange for bounded trace/compile time — a 256-step
+    # unroll of the 23×23 chain compiles for minutes.
+    if M <= UNROLL_MAX:
         # python-unrolled replay: identical trace to the lax.scan below, but
         # with no loop primitive in the program — some host-driven runtimes
         # execute loop constructs with a flat ~25 ms penalty (BENCH.md r03),

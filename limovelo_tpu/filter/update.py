@@ -224,7 +224,12 @@ def _displacement_bound(x: NavState, xs: NavState, max_range) -> jnp.ndarray:
     dtl = jnp.linalg.norm(x.t_LI - xs.t_LI)
     th = jnp.linalg.norm(so3.log(jnp.swapaxes(xs.R, -1, -2) @ x.R))
     th_li = jnp.linalg.norm(so3.log(jnp.swapaxes(xs.R_LI, -1, -2) @ x.R_LI))
-    return dp + dtl + (th + th_li) * max_range
+    # placement is R·(R_LI·p + t_LI) + t: a body-rotation change also swings
+    # the rotated extrinsic lever arm, so the rotated-vector norm bound is
+    # max_range + ‖t_LI‖ (ADVICE r3: without it the bound under-estimates
+    # and can skip a refresh the invariant promises)
+    lever = max_range + jnp.linalg.norm(x.t_LI)
+    return dp + dtl + (th + th_li) * lever
 
 
 def iterated_update(
@@ -275,6 +280,12 @@ def iterated_update(
         max_range = jnp.max(
             jnp.where(mask, jnp.linalg.norm(pts_lidar, axis=-1), 0.0)
         )
+        if axis_name:
+            # point-sharded window: the refresh predicate feeds a lax.cond
+            # whose branch (ring KNN) contains collectives — every device
+            # must take the same branch.  Reduce the only shard-local input
+            # so the predicate is uniform (ADVICE r3 high).
+            max_range = jax.lax.pmax(max_range, axis_name)
 
     def maybe_refresh(x, search_state):
         """auto-mode re-search decision (traced bool → lax.cond)."""

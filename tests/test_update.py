@@ -151,3 +151,63 @@ class TestIteratedUpdate:
             rm = residual(st.boxplus(x, jnp.asarray(-e)))
             fd = (rp - rm) / (2 * eps)
             np.testing.assert_allclose(H[:, k], fd, atol=5e-2, err_msg=f"column {k}")
+
+
+class TestMatchCadence:
+    """match_mode coverage (ADVICE r3): "auto" is the production default via
+    Config.derived(), but direct StaticConfig constructions default to
+    "rematch" — exercise the auto path explicitly."""
+
+    def _setup(self, rng, box_map, mode, **cfg_kw):
+        m, world_pts = box_map
+        cfg = Config(degeneracy_threshold=0.0, LiDAR_noise=0.001,
+                     match_mode=mode, **cfg_kw)
+        x_true = st.make_initial(cfg)
+        scan = scan_from_pose(rng, world_pts, np.eye(3), np.zeros(3))
+        return m, cfg, x_true, scan
+
+    def test_auto_equals_rematch_steady_state(self, rng, box_map):
+        """Converged steady state: the iterate never moves further than
+        match_refresh_m, so "auto" pays ONE search and must agree with the
+        full rematch cadence to sub-mm / a few hundredths of a degree."""
+        m, cfg_a, x_true, scan = self._setup(rng, box_map, "auto")
+        cfg_r = Config(degeneracy_threshold=0.0, LiDAR_noise=0.001,
+                       match_mode="rematch")
+        # tiny perturbation: a 2 mm / 0.1 deg offset (converged tracking)
+        dx = np.zeros(23, np.float32)
+        dx[0:3] = [0.002, -0.001, 0.001]
+        dx[3:6] = [0.001, 0.0, -0.001]
+        x0 = st.boxplus(x_true, jnp.asarray(dx))
+        P = st.initial_covariance()
+        args = (P, m, jnp.asarray(scan), jnp.ones(len(scan), bool), GRID)
+        xa, _, da = iterated_update(x0, *args, cfg_a.static(), cfg_a.dynamic())
+        xr, _, dr = iterated_update(x0, *args, cfg_r.static(), cfg_r.dynamic())
+        # match sets may differ by a borderline-gate point or two: auto's
+        # final gates run against the neighbors found at x0, rematch's
+        # against a fresh search at the final iterate
+        assert abs(int(da.num_matches) - int(dr.num_matches)) <= 3
+        np.testing.assert_allclose(np.asarray(xa.p), np.asarray(xr.p), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(xa.R), np.asarray(xr.R), atol=2e-4)
+
+    def test_auto_refreshes_on_large_correction(self, rng, box_map):
+        """A 0.5 m initial offset (≫ match_refresh_m=0.1) must trigger the
+        auto-mode re-search: the result stays within the rematch cadence's
+        convergence basin instead of freezing the stale neighbor sets."""
+        m, cfg_a, x_true, scan = self._setup(rng, box_map, "auto")
+        cfg_f = Config(degeneracy_threshold=0.0, LiDAR_noise=0.001,
+                       match_mode="freeze")
+        cfg_r = Config(degeneracy_threshold=0.0, LiDAR_noise=0.001,
+                       match_mode="rematch")
+        dx = np.zeros(23, np.float32)
+        dx[0:3] = [0.5, -0.3, 0.2]
+        dx[3:6] = [0.04, -0.03, 0.05]
+        x0 = st.boxplus(x_true, jnp.asarray(dx))
+        P = st.initial_covariance()
+        args = (P, m, jnp.asarray(scan), jnp.ones(len(scan), bool), GRID)
+        xa, _, _ = iterated_update(x0, *args, cfg_a.static(), cfg_a.dynamic())
+        xr, _, _ = iterated_update(x0, *args, cfg_r.static(), cfg_r.dynamic())
+        pa = np.linalg.norm(np.asarray(xa.p))
+        pr = np.linalg.norm(np.asarray(xr.p))
+        # auto tracks rematch closely (the refresh fired)...
+        assert abs(pa - pr) < 0.02, f"auto {pa:.4f} vs rematch {pr:.4f}"
+        assert pa < 0.05, f"auto did not converge: {pa:.4f}"
