@@ -2,6 +2,10 @@
 extrinsic rotation error (is the observable pitch converging? is yaw
 drifting?), translation error, and ATE."""
 
+import os as _os
+if _os.environ.get("FORCE_CPU"):
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from scipy.spatial.transform import Rotation as Rsc
 
@@ -18,6 +22,7 @@ cfg = racing_cfg(
     estimate_extrinsics=True,
     I_Rotation_L=tuple(np.eye(3).ravel()),
     I_Translation_L=(0.7, 0.05, 0.25),
+    initial_cov_extrinsic_rot=(1e-4, 1e-4, 1e-8),
     initial_cov_extrinsic_trans=1e-4,
     real_time=False,
 )

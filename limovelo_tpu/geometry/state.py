@@ -80,7 +80,11 @@ def initial_covariance(config=None, dtype=jnp.float32) -> jnp.ndarray:
     prior or the 7σ-off truth is unreachable — set
     `config.initial_cov_extrinsic_rot/trans` accordingly."""
     diag = np.ones(ERROR_DIM, np.float64)
-    diag[EXT_R:EXT_R + 3] = getattr(config, "initial_cov_extrinsic_rot", 1e-5) if config else 1e-5
+    # scalar or per-axis (roll, pitch, yaw) in the LiDAR-frame tangent — the
+    # anisotropic form pins the gauge-degenerate extrinsic yaw while freeing
+    # the gravity-observable roll/pitch (Config.initial_cov_extrinsic_rot)
+    rot_prior = getattr(config, "initial_cov_extrinsic_rot", 1e-5) if config else 1e-5
+    diag[EXT_R:EXT_R + 3] = np.asarray(rot_prior, np.float64)
     diag[EXT_T:EXT_T + 3] = getattr(config, "initial_cov_extrinsic_trans", 1e-5) if config else 1e-5
     diag[BG:BG + 3] = 1e-4
     diag[BA:BA + 3] = 1e-3
