@@ -90,7 +90,36 @@ class AnchorRec(NamedTuple):
     p_h: Optional[np.ndarray] = None
 
 
-class _PendingStep(NamedTuple):
+class _TelemetryBatch:
+    """One device→host transfer covering a BATCH of steps' telemetry.
+
+    Every telemetry read pays a full tunnel round trip (~26-50 ms once the
+    runtime is in degraded-readback mode), so per-step transfers cap the
+    pipeline at ~1/roundtrip updates/s.  Instead, K per-step telemetry
+    vectors are stacked into ONE device buffer by a tiny (non-donated) jit
+    and async-copied once — one round trip amortized over the whole batch
+    (debug_readback3.stackread/lagread)."""
+
+    __slots__ = ("fetch", "dispatched_at", "_host")
+
+    def __init__(self, fetch, dispatched_at):
+        self.fetch = fetch
+        self.dispatched_at = dispatched_at
+        self._host = None
+
+    def row(self, i) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(jax.device_get(self.fetch))
+        return self._host[i]
+
+
+@jax.jit
+def _stack_telemetry(tels):
+    return jnp.stack(tels)
+
+
+@dataclass
+class _PendingStep:
     """A dispatched-but-unresolved step.
 
     The tunneled TPU runtime this targets has a measured pathology
@@ -98,21 +127,23 @@ class _PendingStep(NamedTuple):
     buffer, every *blocking* dispatch costs a ~26 ms RPC round trip — but
     enqueue throughput stays ~1.5 ms/step and an async-copied buffer read
     ≥~50 ms after its copy started costs ~0.01 ms.  So the pipeline keeps a
-    depth-K queue of dispatched steps, async-copies each telemetry vector at
-    dispatch, and resolves entries only once their copy has had time to land
-    (or the queue overflows / flush() forces it).  The deskew anchor is
-    threaded ON DEVICE (step.StepOutputs.anchor) so no dispatch ever waits on
-    a readback."""
+    depth-K queue of dispatched steps, batches their telemetry vectors into
+    one stacked transfer per K steps (`_TelemetryBatch`), and resolves
+    entries only once their batch's copy has had time to land (or flush()
+    forces it).  The deskew anchor is threaded ON DEVICE
+    (step.StepOutputs.anchor) so no dispatch ever waits on a readback."""
 
     t2: float
     rebase: float
     out: object            # StepOutputs (map buffer donated to the next step)
     anchor_a: np.ndarray
     anchor_w: np.ndarray
-    fetch: object          # telemetry device array (async copy in flight)
+    tel: object            # this step's telemetry device array
     wall_dispatch_ms: float
     win_int: np.ndarray
     dispatched_at: float   # host perf_counter at dispatch (age gating)
+    batch: Optional[_TelemetryBatch] = None
+    row: int = -1
 
 
 class LioPipeline:
@@ -259,7 +290,8 @@ class LioPipeline:
         Bookkeeping that depends on device values is deferred to
         `_resolve_ready()` (subsequent spins / `flush()`) so the telemetry
         readback lands in the background while the host keeps dispatching."""
-        if len(self._pending) >= self.max_inflight:
+        # bound the queue at two batches: batch b's copy lands while b+1 fills
+        if len(self._pending) >= 2 * self.max_inflight:
             self._resolve_one()
         cfg = self.config
         wall0 = _time.perf_counter()
@@ -343,13 +375,6 @@ class LioPipeline:
                 # the telemetry readback happens to land
                 self.last_map_time = t2
 
-        # start the device→host copy NOW; the bookkeeping that needs its
-        # values resolves once the copy has LANDED (age ≥ readback_lag_s) —
-        # reading earlier costs a full RPC round trip per step and flips the
-        # runtime into its degraded-dispatch mode (see _PendingStep).
-        # Everything the host needs is packed into the ONE telemetry vector.
-        fetch = out.telemetry
-        fetch.copy_to_host_async()
         if self.publisher is not None:
             if getattr(self.publisher, "wants_planes", False):
                 for a in (out.diag.plane_centroids, out.diag.plane_normals,
@@ -366,10 +391,16 @@ class LioPipeline:
                     for a in (out.global_pts, out.global_mask):
                         a.copy_to_host_async()
         self._pending.append(_PendingStep(
-            t2, rebase, out, anchor_a, anchor_w, fetch,
+            t2, rebase, out, anchor_a, anchor_w, out.telemetry,
             (_time.perf_counter() - wall0) * 1e3, int_pad,
             _time.perf_counter(),
         ))
+        # one stacked device→host transfer per max_inflight steps: the
+        # bookkeeping that needs telemetry resolves once the batch's copy
+        # has LANDED (age ≥ readback_lag_s) — per-step transfers would pay
+        # a full RPC round trip each (see _TelemetryBatch)
+        if sum(1 for e in self._pending if e.batch is None) >= self.max_inflight:
+            self._close_batch()
 
         # Step 2 (offline mode): map every full rotation with final states
         # (main.cpp:107-117, Mapper::hasToMap).  Triggered at DISPATCH time —
@@ -397,25 +428,41 @@ class LioPipeline:
         return None
 
     # ------------------------------------------------------------------
+    def _close_batch(self) -> Optional[_TelemetryBatch]:
+        """Stack the unbatched pending steps' telemetry into ONE device
+        buffer (non-donated copy — later donated steps must not overwrite
+        it) and start its async host copy."""
+        open_entries = [e for e in self._pending if e.batch is None]
+        if not open_entries:
+            return None
+        stacked = _stack_telemetry([e.tel for e in open_entries])
+        stacked.copy_to_host_async()
+        batch = _TelemetryBatch(stacked, _time.perf_counter())
+        for i, e in enumerate(open_entries):
+            e.batch = batch
+            e.row = i
+        return batch
+
     def _resolve_ready(self) -> None:
-        """Resolve every pending step whose telemetry copy has had time to
-        land (age ≥ readback_lag_s); order-preserving, non-blocking for young
-        entries."""
-        while self._pending and (
-            _time.perf_counter() - self._pending[0].dispatched_at
-            >= self.readback_lag_s
-        ):
+        """Resolve every pending step whose telemetry batch copy has had
+        time to land (age ≥ readback_lag_s); order-preserving, non-blocking
+        for young entries."""
+        while self._pending:
+            b = self._pending[0].batch
+            if b is None or (_time.perf_counter() - b.dispatched_at
+                             < self.readback_lag_s):
+                return
             self._resolve_one()
 
     def _resolve_all(self) -> Optional[StepRecord]:
         """Drain the pending queue (flush).  Waits out the readback lag of
-        the youngest entry once, rather than paying a blocking RPC round trip
-        per entry (debug_readback3.lagread)."""
+        the youngest batch once, rather than paying a blocking RPC round
+        trip per entry (debug_readback3.lagread)."""
         rec = None
         if self._pending:
-            last = self._pending[-1]
-            jax.block_until_ready(last.fetch)
-            age = _time.perf_counter() - last.dispatched_at
+            batch = self._close_batch() or self._pending[-1].batch
+            jax.block_until_ready(batch.fetch)
+            age = _time.perf_counter() - batch.dispatched_at
             if age < self.readback_lag_s:
                 _time.sleep(self.readback_lag_s - age)
         while self._pending:
@@ -427,9 +474,12 @@ class LioPipeline:
         cadence/time bookkeeping, offline mapping, record append, publishing."""
         if not self._pending:
             return None
+        if self._pending[0].batch is None:
+            self._close_batch()   # forced early (flush/horizon/shape change)
         pending = self._pending.popleft()
-        (t2, rebase, out, anchor_a, anchor_w, fetch, wall_dispatch_ms,
-         win_int, _dispatched_at) = pending
+        (t2, rebase, out, anchor_a, anchor_w, wall_dispatch_ms, win_int) = (
+            pending.t2, pending.rebase, pending.out, pending.anchor_a,
+            pending.anchor_w, pending.wall_dispatch_ms, pending.win_int)
         cfg = self.config
         wall0 = _time.perf_counter()
 
@@ -439,7 +489,7 @@ class LioPipeline:
                             TEL_MATCHES, TEL_P, TEL_R, TEL_RESIDUAL,
                             TEL_UPDATED, TEL_V)
 
-        tele = np.asarray(jax.device_get(fetch))
+        tele = pending.batch.row(pending.row)
         updated = bool(tele[TEL_UPDATED] > 0.5)
         ds_count, n_matches = tele[TEL_DS_COUNT], tele[TEL_MATCHES]
         mean_res, iters = tele[TEL_RESIDUAL], tele[TEL_ITERS]
