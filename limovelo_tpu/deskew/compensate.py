@@ -100,8 +100,20 @@ def build_path(anchor: NavState, anchor_t, anchor_a, anchor_w, imus: ImuWindow) 
     )
 
 
-def _bracket(valid_t: jnp.ndarray, query_t) -> jnp.ndarray:
-    """Index of the last node with time ≤ query (per query element).
+def _bracket(carried_t: jnp.ndarray, query_t) -> jnp.ndarray:
+    """Index of the last node with effective time ≤ query (per query element).
+
+    `carried_t` is `path.t` RAW: build_path emits, for every masked-out
+    entry, the carry unchanged — so an invalid node holds its predecessor's
+    time (and state).  Counting `carried_t <= q` therefore lands exactly on
+    the last node whose effective time ≤ q, for any interleaving of invalid
+    entries (leading superset pre-anchor rows, trailing bucket padding).
+
+    NEVER mask invalid nodes to -inf here: a -inf row still counts as
+    ≤ q, so trailing padding would shift every index past its true bracket
+    — with full-bucket padding that degenerates to "every point gets the
+    terminal node", i.e. deskew silently no-ops on padded windows (the r1-r3
+    racing-accuracy ceiling; found r4, tests/test_deskew.py locks it).
 
     Dense compare-all instead of `jnp.searchsorted`: the default searchsorted
     lowering builds a sequential scan whose TPU compile takes minutes, while
@@ -109,15 +121,14 @@ def _bracket(valid_t: jnp.ndarray, query_t) -> jnp.ndarray:
     VPU.
     """
     q = jnp.asarray(query_t)
-    le = valid_t <= q[..., None]                      # (..., S)
-    return jnp.clip(jnp.sum(le, axis=-1) - 1, 0, valid_t.shape[0] - 1)
+    le = carried_t <= q[..., None]                    # (..., S)
+    return jnp.clip(jnp.sum(le, axis=-1) - 1, 0, carried_t.shape[0] - 1)
 
 
 def state_at(path: PathNodes, anchor: NavState, t) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pose (R, p, v) at scalar time t: bracketing node + residual integration
     (`Compensator::get_t2`, Compensator.cpp:53-61)."""
-    valid_t = jnp.where(path.mask, path.t, -jnp.inf)
-    s = _bracket(valid_t, t)
+    s = _bracket(path.t, t)
     dt = jnp.maximum(t - path.t[s], 0.0)
     R, p, v = _integrate(
         path.R[s], path.p[s], path.v[s], anchor.bg, anchor.ba, anchor.g,
@@ -141,9 +152,8 @@ def compensate(
     localized and mapped; main.cpp:79-91).
     """
     dtype = pts.dtype
-    # pose at each point's own time
-    valid_t = jnp.where(path.mask, path.t, -jnp.inf)
-    seg = _bracket(valid_t, pts_t)
+    # pose at each point's own time (bracket on CARRIED times — see _bracket)
+    seg = _bracket(path.t, pts_t)
     dt = jnp.maximum(pts_t - path.t[seg], 0.0)
 
     R_s = path.R[seg]          # (N,3,3)

@@ -215,7 +215,13 @@ def _ramped_distance(t: float, ramp: float, hold: float = 0.0) -> float:
 
 
 def corridor_trajectory(speed: float = 5.0, weave: float = 0.5,
-                        ramp: float = 0.0, hold: float = 0.0) -> Trajectory:
+                        ramp: float = 1.0, hold: float = 0.5) -> Trajectory:
+    """Default is a STANDING START (0.5 s hold, 1 s ramp): the filter
+    initializes with v=0, and a trajectory that teleports to cruise speed at
+    t=0 feeds the (now active — see deskew/compensate._bracket) motion
+    compensation a wildly wrong velocity during map bootstrap, seeding a
+    permanent along-track scale deficit no real dataset exhibits (vehicles
+    start at rest; the racing tests always modeled this)."""
     def pos(t):
         s = _ramped_distance(t, ramp, hold)
         return np.array(
@@ -229,11 +235,12 @@ def corridor_trajectory(speed: float = 5.0, weave: float = 0.5,
 
 
 def circle_trajectory(radius: float = 5.0, omega: float = 0.5,
-                      ramp: float = 0.0, hold: float = 0.0,
+                      ramp: float = 1.0, hold: float = 0.5,
                       sway: float = 0.0) -> Trajectory:
     """`sway` > 0 adds suspension roll/pitch oscillation (radians) scaled by
     the ramp progress — the excitation that makes extrinsic translation
-    observable (see Trajectory docstring)."""
+    observable (see Trajectory docstring).  Standing-start default: see
+    corridor_trajectory."""
     def pos(t):
         s = _ramped_distance(t, ramp, hold)
         return np.array(

@@ -163,3 +163,65 @@ class TestCompensate:
                        jnp.full(4, 0.005, jnp.float32), jnp.asarray(mask))
         )
         np.testing.assert_allclose(out[2:], 0.0)
+
+
+class TestPaddingInvariance:
+    """r4 regression lock: deskew must be INVARIANT to bucket padding.
+
+    _bracket used to mask invalid path nodes to -inf, which still count as
+    <= q in the dense bracket sum — with trailing padding every index
+    overshoots its true bracket, and at full-bucket padding every point
+    collapses onto the terminal node: deskew silently no-ops on padded
+    windows (production windows are ALWAYS padded).  The fix brackets on the
+    CARRIED node times (invalid nodes replicate their predecessor)."""
+
+    def _win(self, M, pad, pre=0):
+        import jax.numpy as jnp
+
+        from limovelo_tpu import Config
+        from limovelo_tpu.filter.process import ImuWindow
+
+        cfg = Config()
+        g = np.array(cfg.gravity_vec, np.float32)
+        ts = (np.arange(1, M + 1) * (0.1 / M)).astype(np.float32)
+        if pre:
+            ts = np.concatenate([ts[:pre] - 0.1, ts])
+        a = np.tile(-g, (len(ts), 1)).astype(np.float32)
+        w = np.tile(np.array([0, 0, 1.0], np.float32), (len(ts), 1))
+        t_ = np.zeros(pad, np.float32)
+        aa = np.zeros((pad, 3), np.float32)
+        ww = np.zeros((pad, 3), np.float32)
+        mk = np.zeros(pad, bool)
+        Mn = len(ts)
+        t_[:Mn] = ts
+        aa[:Mn] = a
+        ww[:Mn] = w
+        mk[:Mn] = t_[:Mn] > 0
+        return ImuWindow(jnp.asarray(t_), jnp.asarray(aa), jnp.asarray(ww),
+                         jnp.asarray(mk))
+
+    def test_padding_and_superset_invariant(self):
+        from limovelo_tpu import Config
+        from limovelo_tpu.deskew.compensate import build_path, compensate
+        from limovelo_tpu.geometry import state as st
+
+        cfg = Config()
+        x = st.make_initial(cfg)
+        g = np.array(cfg.gravity_vec, np.float32)
+        pts = np.array([[5, 0, 0], [0, 5, 0], [3, 3, 1]], np.float32)
+        pts_t = np.array([0.01, 0.05, 0.09], np.float32)
+        msk = np.ones(3, bool)
+
+        def run(imus):
+            path = build_path(x, jnp.float32(0.0), jnp.asarray(-g),
+                              jnp.zeros(3), imus)
+            return np.asarray(compensate(path, x, jnp.float32(0.1),
+                                         jnp.asarray(pts), jnp.asarray(pts_t),
+                                         jnp.asarray(msk)))
+
+        ref = run(self._win(8, 8))
+        # the window actually rotates the points (deskew is ACTIVE)
+        assert np.max(np.abs(ref - pts)) > 0.1, "deskew no-oped"
+        for pad, pre in ((16, 0), (64, 0), (64, 4)):
+            out = run(self._win(8, pad, pre))
+            np.testing.assert_array_equal(out, ref)
