@@ -67,15 +67,10 @@ def write_kitti_drive(
     """Render + write a KITTI raw-sync drive directory; returns the SimData
     (ground truth in `gt_t/gt_R/gt_p`) for ATE evaluation."""
     imu_rate = float(config.imu_rate)
-    # evaluate the trajectory in drive-local time: analytic trajectories lose
-    # all precision at absolute-epoch arguments (second differences at
-    # t ≈ 1.3e9 s are pure cancellation noise)
-    pos_fn, yaw_fn = traj.pos_fn, traj.yaw_fn
-    traj = Trajectory(
-        lambda t: pos_fn(t - _KITTI_EPOCH),
-        lambda t: yaw_fn(t - _KITTI_EPOCH),
-        eps=traj.eps,
-    )
+    # NOTE: `simulate` evaluates the trajectory in t_start-local time itself
+    # (analytic trajectories lose all precision at absolute-epoch arguments:
+    # second differences at t ≈ 1.3e9 s are pure cancellation noise), so the
+    # raw trajectory is passed through unwrapped
     sim = simulate(
         world_cast, traj, config,
         duration=duration, t_start=_KITTI_EPOCH,
@@ -115,7 +110,7 @@ def write_kitti_drive(
     scale = np.cos(lat0)
     with open(os.path.join(oxts, "timestamps.txt"), "w") as f_t:
         for i, t in enumerate(sim.imu_t):
-            R_b, p_b = traj.pose(t)
+            R_b, p_b = traj.pose(t - _KITTI_EPOCH)   # drive-local time
             roll, pitch, yaw = Rsc.from_matrix(R_b).as_euler("xyz")
             rec = np.zeros(30)
             # inverse mercator: x=scale·er·lon, y=scale·er·ln(tan(π/4+lat/2))

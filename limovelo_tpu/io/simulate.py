@@ -333,7 +333,11 @@ def simulate(
         )  # (cols, lines, 3) in LiDAR frame
         pts_list, t_list, i_list = [], [], []
         for ci in range(cols):
-            R_b, p_b = traj.pose(col_t[ci])
+            # evaluate the trajectory in LOCAL time: epoch-scale arguments
+            # (KITTI fixtures stamp at ~1.3e9 s) destroy the finite-
+            # difference IMU derivatives (f64 position quantization at
+            # |p|~5e9 m amplifies to ~100 m/s² of acc noise through /eps²)
+            R_b, p_b = traj.pose(col_t[ci] - t_start)
             R_wl = R_b @ R_LI
             p_wl = R_b @ t_LI + p_b
             d_w = dirs_l[ci] @ R_wl.T
@@ -360,15 +364,16 @@ def simulate(
     imu_a = np.zeros((m, 3), np.float32)
     imu_w = np.zeros((m, 3), np.float32)
     for i, t in enumerate(imu_t):
-        R_b, _ = traj.pose(t)
-        a_spec = R_b.T @ (traj.acc(t) - g_world)
+        tl = t - t_start            # local time — see the render-loop note
+        R_b, _ = traj.pose(tl)
+        a_spec = R_b.T @ (traj.acc(tl) - g_world)
         imu_a[i] = a_spec + np.array(accel_bias) + rng.normal(size=3) * accel_noise
-        imu_w[i] = traj.omega_body(t) + np.array(gyro_bias) + rng.normal(size=3) * gyro_noise
+        imu_w[i] = traj.omega_body(tl) + np.array(gyro_bias) + rng.normal(size=3) * gyro_noise
 
-    # dense ground truth
+    # dense ground truth (absolute stamps, local-time evaluation)
     gt_t = t_start + np.linspace(0, duration, int(duration * 100) + 1)
-    gt_R = np.stack([traj.pose(t)[0] for t in gt_t])
-    gt_p = np.stack([traj.pose(t)[1] for t in gt_t])
+    gt_R = np.stack([traj.pose(t - t_start)[0] for t in gt_t])
+    gt_p = np.stack([traj.pose(t - t_start)[1] for t in gt_t])
 
     return SimData(
         scans=scans, imu_t=imu_t, imu_a=imu_a, imu_w=imu_w,
