@@ -134,8 +134,15 @@ def feed_pipeline(pipe, reader: KittiRawReader, config, max_scans: Optional[int]
     scan_it = reader.scans()
     imu_next = next(imu_it, None)
     n_scans = 0
+    rot = float(getattr(config, "full_rotation_time", 0.1))
     for pts, t_abs, stamp, refl in scan_it:
-        while imu_next is not None and imu_next.t <= stamp + 0.2:
+        # deliver IMUs only up to the scan's COMPLETION time — the faithful
+        # arrival model (a live driver publishes the cloud when the rotation
+        # finishes, with IMU messages interleaved in time order).  Feeding a
+        # further lookahead ahead of the cloud shifts the warm-up window
+        # phase and measurably degrades the replay (r4: 1.93 m vs 0.03 m ATE
+        # on the fixture drive with a +0.2 s lookahead).
+        while imu_next is not None and imu_next.t <= stamp + rot:
             q = Rsc.from_euler("xyz", [imu_next.roll, imu_next.pitch, imu_next.yaw]).as_quat()
             pipe.add_imu(imu_next.t, imu_next.a, imu_next.w, q=q)
             imu_next = next(imu_it, None)
