@@ -72,7 +72,7 @@ def _build_map(grid, insert, make_map, jnp, rng, n_map=200_000):
     return m
 
 
-def _make_step(config):
+def _make_step(config, n_pts=2048, n_imu=16, window_s=0.01):
     """Build inputs + compiled step for one kernel config.  NO readbacks."""
     import jax
     import jax.numpy as jnp
@@ -86,8 +86,6 @@ def _make_step(config):
     grid = GridParams.from_config(config)
     rng = np.random.default_rng(0)
     m = _build_map(grid, insert, make_map, jnp, rng)
-
-    n_pts, n_imu = 2048, 16
     x = st.make_initial(config)
     x = st.boxplus(x, jnp.asarray(np.r_[0.0, 0.0, 1.5, np.zeros(20)], jnp.float32))
     P = st.initial_covariance()
@@ -98,7 +96,7 @@ def _make_step(config):
         [np.cos(elev) * np.cos(az) * r, np.cos(elev) * np.sin(az) * r, -1.5 + 0.0 * r],
         axis=1,
     ).astype(np.float32)
-    ts = ((np.arange(n_imu) + 1) * (0.01 / n_imu)).astype(np.float32)
+    ts = ((np.arange(n_imu) + 1) * (window_s / n_imu)).astype(np.float32)
     imus = ImuWindow(
         t=jnp.asarray(ts),
         a=jnp.asarray(np.tile(-np.array(config.gravity_vec, np.float32), (n_imu, 1))),
@@ -112,9 +110,9 @@ def _make_step(config):
         x=x, P=P, t_integrated=jnp.float32(0.0),
         imus_filter=imus, imus_path=imus,
         pts=jnp.asarray(pts),
-        pts_t=jnp.asarray(rng.uniform(0, 0.01, n_pts).astype(np.float32)),
+        pts_t=jnp.asarray(rng.uniform(0, window_s, n_pts).astype(np.float32)),
         pts_mask=jnp.ones(n_pts, bool),
-        t2=jnp.float32(0.01),
+        t2=jnp.float32(window_s),
         Q=process_noise_Q(config),
         dyn=DynParams.from_config(config),
     )
@@ -191,6 +189,19 @@ def sec_kernel():
     print(f"[kernel] full-gate KNN coverage costs "
           f"{(p50_prod/p50_r1 - 1)*100:.1f}% step latency on the dense scene "
           f"(see [fidelity] for what it buys)")
+    # scans/s per chip: a FULL-ROTATION window (0.1 s of data at Velodyne
+    # scale: ~32k pts/rotation ÷ downsample_rate 4 ≈ 8k raw points, 40 IMU
+    # samples at 400 Hz).  The C++ baseline proxy: the reference consumes
+    # 10 Hz rotations in real time on one core with downsample_rate=4
+    # (README.md:70-77) ⇒ ~10-20 scans/s single-core; BASELINE.md targets
+    # ≥10× that per chip.
+    ctx_scan = _make_step(cfg_prod, n_pts=8192, n_imu=64, window_s=0.1)
+    p50_scan = _time_step(ctx_scan, n_reps=30)
+    scans_s = 1.0 / p50_scan
+    print(f"[kernel] full-rotation window (8192 raw pts, 0.1 s): "
+          f"p50={p50_scan*1e3:.3f} ms -> {scans_s:.0f} scans/s/chip "
+          f"(C++ baseline proxy ~15 scans/s single core -> "
+          f"{scans_s/15.0:.0f}x)", flush=True)
     glat = []
     for _ in range(30):
         t0 = time.perf_counter()
@@ -208,6 +219,8 @@ def sec_kernel():
         "mb": mb,
         "slots": slots,
         "match_mode": getattr(static_prod, "match_mode", "rematch"),
+        "scans_per_s_chip": scans_s,
+        "p50_scan_ms": p50_scan * 1e3,
     }
 
 
@@ -315,32 +328,113 @@ def sec_pipeline():
         point_buckets=(2048, 4096, 8192), ds_buckets=(1024, 2048),
         imu_buckets=(64,), map_table_size=1 << 14,
     )
+    import jax
+
     traj = circle_trajectory(radius=4.0, omega=0.4)
     world = room_world(size=24.0, n_boxes=10)
     sim = simulate(world, traj, config, duration=5.0, lidar_lines=12,
                    pts_per_line=180, imu_rate=200.0, seed=7)
+    from limovelo_tpu.config import InitializationParams
+
+    hz100 = Config(
+        real_time=True, min_dist=0.5, downsample_prec=0.4,
+        full_rotation_time=0.1, imu_rate=400.0, real_time_delay=0.1,
+        empty_lidar_time=0.5, degeneracy_threshold=0.0,
+        covariance_acceleration=1e-2, covariance_gyroscope=1e-3,
+        point_buckets=(2048, 4096, 8192), ds_buckets=(1024, 2048),
+        imu_buckets=(64, 128), map_table_size=1 << 14,
+        Initialization=InitializationParams(times=(0.3, 0.6),
+                                            deltas=(0.05, 0.02, 0.01)),
+    )
+    traj100 = circle_trajectory(radius=10.0, omega=1.0, ramp=1.0, hold=0.5)
+    world100 = room_world(size=40.0, n_boxes=16, seed=4)
+    sim100 = simulate(world100, traj100, hz100, duration=4.0, lidar_lines=12,
+                      pts_per_line=220, imu_rate=400.0, seed=31)
+
+    # cold replays compile every (bucket, config) executable — deliberately
+    # NO flush anywhere until BOTH timed streams are done: the first
+    # device→host read flips this process into the degraded mode where the
+    # step PROGRAM executes at ~28 ms instead of ~0.2 ms (r5 probe_realstep,
+    # BENCH.md) — r4's bench poisoned its own timed replay exactly this way
     pipe = LioPipeline(config, grid=GridParams.from_config(config))
-    replay_into(pipe, sim)   # cold: compile every (bucket, config) executable
-    pipe.flush()
+    replay_into(pipe, sim)
+    jax.block_until_ready(pipe.x)
+    pipeh = LioPipeline(hz100, grid=GridParams.from_config(hz100))
+    replay_into(pipeh, sim100, spin_every_imu=True)
+    jax.block_until_ready(pipeh.x)
+
     pipe2 = LioPipeline(config, grid=GridParams.from_config(config))
     t0 = time.perf_counter()
     replay_into(pipe2, sim)
+    jax.block_until_ready(pipe2.x)        # stream fully executed, zero reads
+    stream_wall = time.perf_counter() - t0
+
+    pipeh2 = LioPipeline(hz100, grid=GridParams.from_config(hz100))
+    t0h = time.perf_counter()
+    replay_into(pipeh2, sim100, spin_every_imu=True)
+    jax.block_until_ready(pipeh2.x)
+    stream100 = time.perf_counter() - t0h
+
+    # first readback after the heavy session: pays the mode flip (tens of
+    # seconds on this tunneled runtime — the BENCH.md 'first readback'
+    # pathology; the pipeline's slow-readback alarm fires here)
+    t0f = time.perf_counter()
     pipe2.flush()
-    wall = time.perf_counter() - t0
+    flush_s = time.perf_counter() - t0f
+    wall = stream_wall + flush_s
     recs = pipe2.result.records
     wall_ms = np.array([r.wall_ms for r in recs])
     upd_hz = len(recs) / wall if wall else 0.0
+    upd_hz_stream = len(recs) / stream_wall if stream_wall else 0.0
     scans_s = len(sim.scans) / wall if wall else 0.0
     p50 = float(np.percentile(wall_ms, 50)) if len(recs) else None
     mean_ds = float(np.mean([r.ds_count for r in recs])) if recs else 0.0
-    print(f"[pipeline] {len(recs)} updates / {len(sim.scans)} scans in "
-          f"{wall:.2f} s -> {upd_hz:.1f} updates/s, {scans_s:.1f} scans/s "
-          f"(mean window {mean_ds:.0f} ds-points; per-step telemetry "
-          f"resolved with depth-K lag, publishers live)", flush=True)
+    print(f"[pipeline] {len(recs)} updates / {len(sim.scans)} scans: "
+          f"stream {stream_wall:.2f} s ({upd_hz_stream:.1f} updates/s "
+          f"read-free), + first-readback flush {flush_s:.1f} s -> "
+          f"{wall:.2f} s total ({upd_hz:.1f} updates/s, {scans_s:.1f} "
+          f"scans/s; mean window {mean_ds:.0f} ds-points)", flush=True)
+    # stage decomposition (VERDICT r4 weak#1): wall = Σ stages + remainder,
+    # remainder = sim feed + spin scheduling + python overhead
+    stages = pipe2.timers.summary()
+    print("[pipeline stages]")
+    print(pipe2.timers.report(), flush=True)
+    stage_sum = sum(v["total_ms"] for v in stages.values())
+    print(f"[pipeline stages] Σ stages = {stage_sum:.0f} ms of {wall*1e3:.0f} ms "
+          f"wall; remainder = {wall*1e3 - stage_sum:.0f} ms "
+          f"(sim feed + spin scheduling + python)", flush=True)
+
+    # the reference's headline 100 Hz mode (delta = 0.01 s real-time windows,
+    # README.md:13-15) through the production pipeline — VERDICT r4 #4.
+    # Streamed read-free above, BEFORE the first flush; its own flush now
+    # runs in the already-degraded mode (cheap batch reads, no mode flip).
+    t0f = time.perf_counter()
+    pipeh2.flush()
+    wall100 = stream100 + (time.perf_counter() - t0f)
+    recs100 = pipeh2.result.records
+    data_span = recs100[-1].t - recs100[0].t if len(recs100) > 1 else 1.0
+    hz_data = (len(recs100) - 1) / data_span if len(recs100) > 1 else 0.0
+    hz_wall = len(recs100) / wall100 if wall100 else 0.0
+    hz_stream = len(recs100) / stream100 if stream100 else 0.0
+    rt_factor = data_span / stream100 if stream100 else 0.0
+    print(f"[pipeline-100Hz] {len(recs100)} updates over {data_span:.2f} s of "
+          f"data: stream {stream100:.2f} s ({hz_stream:.1f} updates/s "
+          f"read-free, real-time factor {rt_factor:.2f}x) + flush -> "
+          f"{wall100:.2f} s total ({hz_wall:.1f} updates/s; "
+          f"{hz_data:.1f} updates/s of DATA time)", flush=True)
     return {
         "pipeline_updates_per_s": upd_hz,
+        "pipeline_updates_per_s_stream": upd_hz_stream,
         "pipeline_scans_per_s": scans_s,
         "update_wall_p50_ms": p50,
+        "stage_totals_ms": {k: round(v["total_ms"], 1) for k, v in stages.items()},
+        "stage_sum_ms": round(sum(v["total_ms"] for v in stages.values()), 1),
+        "wall_s": round(wall, 3),
+        "first_flush_s": round(flush_s, 2),
+        "hz100_updates_per_s_data": round(hz_data, 1),
+        "hz100_updates_per_s_wall": round(hz_wall, 1),
+        "hz100_updates_per_s_stream": round(hz_stream, 1),
+        "hz100_rt_factor": round(rt_factor, 3),
     }
 
 
@@ -425,7 +519,18 @@ def main():
         "first_readback_ms": _num(det.get("first_readback_ms"), 2),
         "poisoned_dispatch_ms": _num(det.get("poisoned_dispatch_ms"), 3),
         "pipeline_updates_per_s": _num(pipe.get("pipeline_updates_per_s"), 2),
+        "pipeline_updates_per_s_stream": _num(
+            pipe.get("pipeline_updates_per_s_stream"), 2),
         "pipeline_scans_per_s": _num(pipe.get("pipeline_scans_per_s"), 2),
+        # kernel-level full-rotation-window rate (BASELINE.md ≥10× C++
+        # single-core ~15 scans/s; derivation in BENCH.md)
+        "scans_per_s_chip": _num(kern.get("scans_per_s_chip"), 1),
+        "vs_cpp_scans": _num((kern.get("scans_per_s_chip") or 0) / 15.0, 1),
+        "hz100_updates_per_s_data": _num(pipe.get("hz100_updates_per_s_data"), 1),
+        "hz100_updates_per_s_wall": _num(pipe.get("hz100_updates_per_s_wall"), 1),
+        "hz100_updates_per_s_stream": _num(
+            pipe.get("hz100_updates_per_s_stream"), 1),
+        "hz100_rt_factor": _num(pipe.get("hz100_rt_factor"), 3),
         "update_wall_p50_ms": _num(pipe.get("update_wall_p50_ms"), 3),
         "sparse_recall_rings1": _num(det.get("sparse_recall_rings1"), 4),
         "sparse_recall_prod": _num(det.get("sparse_recall_prod"), 4),

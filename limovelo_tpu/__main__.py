@@ -40,6 +40,8 @@ def _load_config(args, default_profile="default"):
 
 
 def _write_outputs(pipe, args):
+    import numpy as np
+
     from limovelo_tpu.runtime.evaluate import write_kitti, write_tum
 
     res = pipe.result
@@ -68,6 +70,21 @@ def _write_outputs(pipe, args):
         else:
             write_tum(args.out, res.times, res.rotations, res.positions)
         print(f"trajectory → {args.out}")
+    from limovelo_tpu.runtime.slam import SlamPipeline
+
+    if isinstance(pipe, SlamPipeline):
+        # SLAM backend results: optimized keyframe trajectory + loop stats
+        Rs_opt, ps_opt = pipe.optimized_trajectory()
+        kf_t = np.array([f.t for f in pipe.keyframes.frames])
+        n_att = len(pipe.loop_stats)
+        n_acc = sum(1 for s in pipe.loop_stats if s["accepted"])
+        print(f"SLAM backend: {len(kf_t)} keyframes, {n_att} loop "
+              f"candidates, {n_acc} closures accepted")
+        if args.out and len(kf_t) >= 2:
+            base, dot, ext = args.out.rpartition(".")
+            opt_path = (base or args.out) + ".opt." + (ext or "tum")
+            write_tum(opt_path, kf_t, Rs_opt, ps_opt)
+            print(f"optimized keyframe trajectory → {opt_path}")
     if args.save_map:
         from limovelo_tpu.runtime.checkpoint import save_map
 
@@ -79,8 +96,6 @@ def _write_outputs(pipe, args):
         save_checkpoint(args.checkpoint, pipe)
         print(f"checkpoint → {args.checkpoint}")
     if res.records:
-        import numpy as np
-
         wall = [r.wall_ms for r in res.records]
         print(
             json.dumps(
@@ -98,9 +113,28 @@ def _write_outputs(pipe, args):
 def _make_pipe(cfg, args):
     from limovelo_tpu.runtime.pipeline import LioPipeline
 
+    mesh = None
+    if getattr(args, "devices", None):
+        import jax
+        from limovelo_tpu.parallel.sharding import make_mesh
+
+        devs = jax.devices()
+        if len(devs) < args.devices:
+            raise SystemExit(
+                f"--devices {args.devices}: only {len(devs)} device(s) "
+                f"visible (hint: XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count=N JAX_PLATFORMS=cpu for a virtual mesh)")
+        mesh = make_mesh(devs[: args.devices])
+    if getattr(args, "loop_closure", False):
+        from limovelo_tpu.runtime.slam import SlamPipeline
+
+        if args.hd_map:
+            raise SystemExit("--loop-closure with --hd-map is not supported "
+                             "(prelocalization runs against a frozen map)")
+        return SlamPipeline(cfg, mesh=mesh)
     if args.hd_map:
         return LioPipeline.from_hd_map(cfg, args.hd_map)
-    return LioPipeline(cfg)
+    return LioPipeline(cfg, mesh=mesh, shard=getattr(args, "shard", "points"))
 
 
 def _read_tum(path):
@@ -161,6 +195,15 @@ def main(argv=None):
         sp.add_argument("--ply", default=None, help="write the map cloud as PLY")
         sp.add_argument("--profile", default=None,
                         help="capture a jax.profiler trace of the replay into this dir")
+        sp.add_argument("--devices", type=int, default=None,
+                        help="run the step over an N-device mesh "
+                             "(point-sharded window, psum'd normal equations)")
+        sp.add_argument("--shard", default="points", choices=["points", "map"],
+                        help="with --devices: 'points' replicates the map, "
+                             "'map' also partitions map table rows (D× capacity)")
+        sp.add_argument("--loop-closure", action="store_true",
+                        help="SLAM mode: keyframes + loop closure + pose-graph "
+                             "backend; exports raw AND optimized trajectories")
 
     sp = sub.add_parser("run", help="replay a ROS1 bag")
     common(sp)

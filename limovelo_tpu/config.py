@@ -48,6 +48,13 @@ class StaticConfig(NamedTuple):
     # (an iterative on-device loop) is compiled out entirely — derived:
     # gating disabled AND eigenvalue printing off
     compute_degeneracy: bool = True
+    # dtype of the 23×23 prior/solve chain inside the iterated update
+    # (P⁻¹, chart transport, S assembly, δ-solve, P⁺).  "f64" (default)
+    # removes the f32 backend sensitivity that made online-extrinsics
+    # convergence flip sign with CPU codegen differences (VERDICT r4 #2);
+    # the N-dependent HᵀH reductions stay f32 (they are benign sums).
+    # Costs microseconds — the matrices are 23×23.
+    solve_dtype: str = "f64"
 
 
 class DynParams(NamedTuple):
@@ -279,6 +286,9 @@ class Config:
     ds_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
     imu_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
     dtype: str = "float32"
+    # precision of the 23×23 update solve chain ("f64" | "f32") — see
+    # StaticConfig.solve_dtype
+    solve_dtype: str = "f64"
 
     # ------------------------------------------------------------------
     @property
@@ -340,6 +350,7 @@ class Config:
             compute_degeneracy=(
                 self.degeneracy_threshold != 0.0 or self.print_degeneracy_values
             ),
+            solve_dtype=self.solve_dtype,
         )
 
     def dynamic(self) -> DynParams:

@@ -258,7 +258,16 @@ def iterated_update(
     dtype = pts_lidar.dtype
     psum = (lambda v: jax.lax.psum(v, axis_name)) if axis_name else (lambda v: v)
     r_inv = 1.0 / dyn.LiDAR_noise               # measurement information
-    P_inv = _inv_spd(P.astype(jnp.float32))
+    # the 23×23 prior/solve chain runs in f64 by default
+    # (StaticConfig.solve_dtype): the GN fixed point sits close enough to
+    # machine-f32 that backend codegen differences (AVX512 vs AVX2 FMA
+    # contraction, TPU vs CPU) flipped the SIGN of extrinsic-calibration
+    # progress between machines (VERDICT r4 #2).  Only the tiny matrices are
+    # promoted — HᵀH stays an f32 MXU reduction; cost is µs-scale.
+    use_f64 = getattr(static_cfg, "solve_dtype", "f64") == "f64"
+    solve_t = jnp.float64 if use_f64 else jnp.float32
+    with jax.enable_x64(use_f64):
+        P_inv = _inv_spd(P.astype(solve_t))
     eps_limit = dyn.LIMITS
 
     # match cadence (Config.match_mode):
@@ -329,16 +338,24 @@ def iterated_update(
         Htr = psum(Hw.T @ (r * w))                       # (12,)
 
         # prior transported into the chart at the current iterate (IKFoM's
-        # A-matrix projection); L = I at the first iteration (x == x0)
+        # A-matrix projection); L = I at the first iteration (x == x0).
+        # L and dx_prior are computed in f32 (their accuracy is limited by the
+        # f32 states themselves; also so3.log's argmax breaks under a local
+        # x64 scope — internal init constants get canonicalized); the 23×23
+        # LINEAR ALGEBRA runs at solve_dtype (f64 default — see above).
         L = chart_transport(x, x0, dtype)
-        LtPinv = L.T @ P_inv
-        S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype)
-        S = S.at[:12, :12].set(HtH * r_inv)
-        S = S + LtPinv @ L
-        g_vec = jnp.zeros((ERROR_DIM,), dtype).at[:12].set(Htr * r_inv)
         dx_prior = boxminus(x, x0)
-        rhs = -(g_vec + LtPinv @ dx_prior)
-        delta = _solve_spd(S, rhs)
+        with jax.enable_x64(use_f64):
+            L_s = L.astype(solve_t)
+            LtPinv = L_s.T @ P_inv
+            S = jnp.zeros((ERROR_DIM, ERROR_DIM), solve_t)
+            S = S.at[:12, :12].set(HtH.astype(solve_t) * r_inv)
+            S = S + LtPinv @ L_s
+            g_vec = jnp.zeros((ERROR_DIM,), solve_t).at[:12].set(
+                Htr.astype(solve_t) * r_inv)
+            rhs = -(g_vec + LtPinv @ dx_prior.astype(solve_t))
+            delta = _solve_spd(S, rhs)
+        delta = delta.astype(dtype)
 
         # degeneracy gating on the unwhitened HᵀH spectrum (the Huguet57
         # fork extension, Localizator.cpp:132).  Compiled out entirely when
@@ -387,10 +404,14 @@ def iterated_update(
     # final covariance from the last iteration's (already psum'd) HᵀH
     w = valid.astype(dtype)
     L = chart_transport(x, x0, dtype)
-    LtPinvL = L.T @ P_inv @ L
-    S = jnp.zeros((ERROR_DIM, ERROR_DIM), dtype).at[:12, :12].set(HtH * r_inv) + LtPinvL
-    P_new = _inv_spd(S)
-    P_new = 0.5 * (P_new + P_new.T)
+    with jax.enable_x64(use_f64):
+        L_s = L.astype(solve_t)
+        LtPinvL = L_s.T @ P_inv @ L_s
+        S = (jnp.zeros((ERROR_DIM, ERROR_DIM), solve_t)
+             .at[:12, :12].set(HtH.astype(solve_t) * r_inv) + LtPinvL)
+        P_new = _inv_spd(S)
+        P_new = 0.5 * (P_new + P_new.T)
+    P_new = P_new.astype(dtype)
 
     n_matches = psum(jnp.sum(valid)).astype(jnp.int32)
     diag = UpdateDiagnostics(

@@ -47,6 +47,20 @@ STATUS (measured on TPU v5e):
   production racing/KITTI configs keep XLA because their derived rings=3
   coverage exceeds this kernel's 1-ring envelope and their windows are
   voxel-downsampled.
+- round 5 (bench_pallas.py, PRODUCTION envelope — 2048 voxel-downsampled
+  queries at 2.4 queries/coarse voxel, rings=3, max_buckets=32 group-level
+  tier): **XLA WINS 0.90×** (20.8 ms vs 18.6 ms amortized, 100% d2
+  agreement on overlap); the rings=1 dense regime also flipped to
+  **XLA 0.72×** on this session's chip.  SETTLED VERDICT (VERDICT r4 #6):
+  at production sparsity the per-group bucket sharing collapses (2.4
+  queries/voxel → most groups DMA 32 buckets for a handful of queries), so
+  the grouped-DMA family cannot realize the calibration-probe bandwidth —
+  the probe streams a dense contiguous index set while the match gather is
+  latency-bound on small scattered blocks.  The fused match kernel (KNN +
+  plane fit + H rows in VMEM) is NOT built on this evidence: its premise
+  was that the gather's 193 GB/s had 3.8× headroom, but the headroom is an
+  artifact of comparing against a dense-pattern probe, and the sub-ms step
+  already meets the 100 Hz target with 40× margin.
 Capacity note: scalar-prefetch SMEM bounds g_max ≲ 1500 (27 int32/group,
 1 MB SMEM); overflowed queries return valid=False, never garbage.
 """

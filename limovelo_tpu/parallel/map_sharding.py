@@ -52,7 +52,7 @@ from ..filter.update import iterated_update
 from ..mapping import GridParams, HashGridMap, insert, knn, make_map
 from ..mapping.hashgrid import _fine_coords
 from ..ops.voxel import voxel_downsample
-from ..step import StepInputs, StepOutputs, make_telemetry
+from ..step import StepInputs, StepOutputs, _derive_anchor_controls, make_telemetry
 
 AXIS = "points"
 
@@ -194,7 +194,12 @@ def _body(inp: StepInputs, m_local: HashGridMap, static_cfg, lgrid: GridParams):
     AXIS, filter state replicated.  Mirrors sharding._sharded_body with the
     map-sharded match/insert."""
     x_pred, P_pred = predict_window(inp.x, inp.P, inp.imus_filter, inp.t_integrated, inp.Q)
-    path = build_path(inp.anchor, inp.anchor_t, inp.anchor_a, inp.anchor_w, inp.imus_path)
+    # superset-window mask + on-device anchor controls (ADVICE r4 medium —
+    # mirrors _lio_step_core; see sharding._sharded_body)
+    path_mask = inp.imus_path.mask & (inp.imus_path.t > inp.anchor_t)
+    imus_path = inp.imus_path._replace(mask=path_mask)
+    anchor_a, anchor_w = _derive_anchor_controls(inp, path_mask)
+    path = build_path(inp.anchor, inp.anchor_t, anchor_a, anchor_w, imus_path)
 
     pts_l2 = compensate(path, inp.anchor, inp.t2, inp.pts, inp.pts_t, inp.pts_mask)
     ds = voxel_downsample(pts_l2, inp.pts_mask, inp.dyn.downsample_prec)
@@ -222,10 +227,12 @@ def _body(inp: StepInputs, m_local: HashGridMap, static_cfg, lgrid: GridParams):
     anchor_new = jax.tree.map(lambda n, o: jnp.where(enough, n, o), x_new, inp.anchor)
     anchor_t_new = jnp.where(enough, jnp.asarray(inp.t2, jnp.float32),
                              jnp.asarray(inp.anchor_t, jnp.float32))
+    # local window index → global (see sharding._sharded_body)
+    ds_idx_global = ds.idx + jax.lax.axis_index(AXIS) * inp.pts.shape[0]
     return StepOutputs(
         x=x_new, P=P_new, map=m_new, updated=enough, ds_count=total_ds,
         global_pts=g_full, global_mask=inp.pts_mask,
-        global_ds=g_ds, global_ds_mask=ds.mask, global_ds_idx=ds.idx,
+        global_ds=g_ds, global_ds_mask=ds.mask, global_ds_idx=ds_idx_global,
         diag=diag,
         telemetry=make_telemetry(enough, total_ds, diag, x_new, m_new,
                                  anchor_t=anchor_t_new, map_axis=AXIS),

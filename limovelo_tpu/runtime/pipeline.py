@@ -28,6 +28,7 @@ from ..mapping import GridParams, insert, make_map, prune
 from ..ops.voxel import voxel_downsample
 from ..step import StepInputs, lio_step, lio_step_packed, mapping_step, pack_host_inputs
 from .accumulator import Accumulator
+from .profiling import StageTimers
 
 
 @dataclass
@@ -97,10 +98,23 @@ class _TelemetryBatch:
     runtime is in degraded-readback mode), so per-step transfers cap the
     pipeline at ~1/roundtrip updates/s.  Instead, K per-step telemetry
     vectors are stacked into ONE device buffer by a tiny (non-donated) jit
-    and async-copied once — one round trip amortized over the whole batch
-    (debug_readback3.stackread/lagread)."""
+    and read back with ONE blocking device_get when the batch's compute has
+    landed (`fetch.is_ready()`) — one round trip amortized over the whole
+    batch.
+
+    r5 measurement (probe_donate): `copy_to_host_async()` — the r4 design —
+    STALLS the degraded runtime's execution stream ~300 ms per call, which
+    was the real "33× wall gap" (BENCH.md r05).  A plain blocking read of a
+    ready buffer costs only the ~26 ms RPC, so the async prefetch is gone."""
 
     __slots__ = ("fetch", "dispatched_at", "_host")
+
+    #: readbacks slower than this raise an alarm (BENCH_r04 recorded a
+    #: first readback of 70 s after a heavy session — session-threatening
+    #: on a tunneled runtime; the alarm makes it visible instead of a
+    #: silent stall, VERDICT r4 weak#8)
+    SLOW_READBACK_S = 5.0
+    _alarmed = False
 
     def __init__(self, fetch, dispatched_at):
         self.fetch = fetch
@@ -109,7 +123,19 @@ class _TelemetryBatch:
 
     def row(self, i) -> np.ndarray:
         if self._host is None:
+            t0 = _time.perf_counter()
             self._host = np.asarray(jax.device_get(self.fetch))
+            took = _time.perf_counter() - t0
+            if took > self.SLOW_READBACK_S and not _TelemetryBatch._alarmed:
+                _TelemetryBatch._alarmed = True
+                import logging
+
+                logging.getLogger(__name__).error(
+                    "device->host telemetry readback took %.1f s (threshold "
+                    "%.0f s) — the runtime has entered a degraded/abort-prone "
+                    "readback mode (see BENCH.md 'readback pathology'); "
+                    "expect slow resolution or a tunnel abort. Consider "
+                    "checkpointing now.", took, self.SLOW_READBACK_S)
         return self._host[i]
 
 
@@ -142,6 +168,7 @@ class _PendingStep:
     wall_dispatch_ms: float
     win_int: np.ndarray
     dispatched_at: float   # host perf_counter at dispatch (age gating)
+    advanced: bool = False  # host optimistically advanced last_time_updated
     batch: Optional[_TelemetryBatch] = None
     row: int = -1
 
@@ -149,25 +176,67 @@ class _PendingStep:
 class LioPipeline:
     """Feed sensors in (any interleaving), call `spin()`, read trajectory out.
 
-    `max_inflight` bounds the dispatch-ahead depth; `readback_lag_s` is the
-    minimum age before a step's telemetry is read back (both no-ops for
-    correctness — resolution is order-preserving and flush() drains).
-    `readback_lag_s=None` picks a backend default: 0 on CPU (reads are free;
-    resolution then runs every spin, the depth-1 cadence), 50 ms on
-    accelerators (covers the tunneled runtime's async-copy landing time —
-    debug_readback3.lagread)."""
+    `max_inflight` bounds the dispatch-ahead depth.  `readback_lag_s=None`
+    picks a backend default: 0 on CPU (reads are free; batches close every
+    dispatch, so resolution runs at the depth-1 cadence), 50 ms on
+    accelerators.  With a nonzero lag, a batch resolves as soon as its
+    compute has landed (`is_ready()`), or unconditionally at the 10×lag age
+    ceiling (bounds live-record latency).  Both knobs are no-ops for
+    correctness — resolution is order-preserving and flush() drains."""
 
     def __init__(self, config, grid: Optional[GridParams] = None, publisher=None,
-                 max_inflight: int = 8, readback_lag_s: Optional[float] = None):
+                 max_inflight: int = 8, readback_lag_s: Optional[float] = None,
+                 mesh=None, shard: str = "points", defer_readback: Optional[bool] = None):
         self.config = config
         self.grid = grid or GridParams.from_config(config)
         self.accum = Accumulator(config)
+        # multi-chip dispatch (SURVEY.md §7 step 8): `mesh` a jax.sharding.Mesh
+        # switches the per-window dispatch to a shard_map step — shard="points"
+        # point-shards the window (psum'd normal equations, map replicated;
+        # parallel/sharding.py), shard="map" additionally partitions the map
+        # table rows across devices (D× capacity, ring-ppermute KNN;
+        # parallel/map_sharding.py).  Both are numerically identical to the
+        # single-device step.
+        self.mesh = mesh
+        self.shard = shard
+        self._sharded_step = None
+        if mesh is not None:
+            if config.mapping_mode == "offline":
+                raise ValueError(
+                    "mesh mode supports mapping 'online' or 'none'; the "
+                    "offline re-deskew mapping step is single-device")
+            if shard == "map":
+                from ..parallel import map_sharding as _ms
+
+                self._sharded_step = _ms.make_map_sharded_step(mesh, config, self.grid)
+            elif shard == "points":
+                from ..parallel.sharding import make_sharded_step
+
+                self._sharded_step = make_sharded_step(mesh, config, self.grid)
+            else:
+                raise ValueError(f"shard must be 'points' or 'map', got {shard!r}")
         self._result = OdometryResult()
         self.publisher = publisher  # runtime.publishers.Publisher or None
         self.max_inflight = max(1, int(max_inflight))
         if readback_lag_s is None:
             readback_lag_s = 0.0 if jax.default_backend() == "cpu" else 0.05
         self.readback_lag_s = float(readback_lag_s)
+        # defer ALL telemetry readbacks to flush():  on the tunneled TPU
+        # runtime the FIRST device→host read flips the process into a mode
+        # where the step PROGRAM executes at ~28 ms (vs 0.2 ms clean) —
+        # measured r5, probe_realstep, BENCH.md.  With the optimistic anchor
+        # bound nothing on the host needs telemetry mid-run, so an offline
+        # replay can stream read-free at clean-mode speed and pay the mode
+        # flip once at the end.  Auto-on when nothing consumes telemetry
+        # mid-run: no publisher, online mapping (offline-mode re-deskew needs
+        # resolved anchors), no prune policy.  Entries are capped at
+        # `defer_cap` pending steps as a memory bound.
+        if defer_readback is None:
+            defer_readback = (publisher is None
+                              and config.mapping_mode == "online"
+                              and config.map_prune_radius <= 0)
+        self.defer_readback = bool(defer_readback)
+        self.defer_cap = 4096
 
         self._initialized = False
         self.map = None
@@ -195,6 +264,14 @@ class LioPipeline:
         self._last_processed_t2: float = -np.inf
         self._pending = deque()   # in-flight steps awaiting host bookkeeping
         self._seen_shapes = set()  # (bucket, imu_f, imu_p) combos compiled
+        # windows whose RAW count cleared MAX_POINTS2MATCH but whose voxel
+        # downsample collapsed below it — consumed without retry (documented
+        # deviation from main.cpp:81; counted so the deviation is observable)
+        self.collapsed_windows = 0
+        # always-on per-stage wall timers over the dispatch/resolve hot loop
+        # (VERDICT r4 weak#1: the 1.7 ms-p50-dispatch vs 56 ms-mean-wall gap
+        # must be decomposable from the record; print `timers.report()`)
+        self.timers = StageTimers()
 
     # ------------------------------------------------------------------
     @property
@@ -241,7 +318,15 @@ class LioPipeline:
         self.P = st.initial_covariance(self.config)
         self.map = getattr(self, "_preloaded_map", None)
         if self.map is None:
-            self.map = make_map(self.grid)
+            if self.mesh is not None and self.shard == "map":
+                from ..parallel.map_sharding import make_sharded_map
+
+                self.map = make_sharded_map(self.mesh, self.grid)
+            else:
+                self.map = make_map(self.grid)
+        elif self.mesh is not None and self.shard == "map":
+            raise ValueError("HD-map prelocalization is not supported with "
+                             "map-block sharding; use shard='points'")
         t0 = self.accum.initial_time
         self.t2 = t0
         self.last_time_updated = t0
@@ -290,29 +375,31 @@ class LioPipeline:
         Bookkeeping that depends on device values is deferred to
         `_resolve_ready()` (subsequent spins / `flush()`) so the telemetry
         readback lands in the background while the host keeps dispatching."""
-        # bound the queue at two batches: batch b's copy lands while b+1 fills
-        if len(self._pending) >= 2 * self.max_inflight:
+        # bound the queue at two batches (deferred mode: only the memory cap)
+        bound = self.defer_cap if self.defer_readback else 2 * self.max_inflight
+        if len(self._pending) >= bound:
             self._resolve_one()
         cfg = self.config
         wall0 = _time.perf_counter()
         rebase = self.accum.initial_time
 
-        pts, pts_t, pts_i = self.accum.get_points(t1, t2)
-        n = len(pts)
-        bucket = cfg.bucket_for(max(n, 1), cfg.point_buckets)
-        if n > bucket:  # overfull window: keep the newest points
-            pts, pts_t, pts_i = pts[-bucket:], pts_t[-bucket:], pts_i[-bucket:]
-            n = bucket
-        pts_pad = np.zeros((bucket, 3), np.float32)
-        t_pad = np.zeros(bucket, np.float32)
-        mask = np.zeros(bucket, bool)
-        int_pad = np.zeros(bucket, np.float32)
-        pts_pad[:n] = pts
-        t_pad[:n] = (pts_t - rebase).astype(np.float32)
-        mask[:n] = True
-        int_pad[:n] = pts_i
+        with self.timers("assemble"):
+            pts, pts_t, pts_i = self.accum.get_points(t1, t2)
+            n = len(pts)
+            bucket = cfg.bucket_for(max(n, 1), cfg.point_buckets)
+            if n > bucket:  # overfull window: keep the newest points
+                pts, pts_t, pts_i = pts[-bucket:], pts_t[-bucket:], pts_i[-bucket:]
+                n = bucket
+            pts_pad = np.zeros((bucket, 3), np.float32)
+            t_pad = np.zeros(bucket, np.float32)
+            mask = np.zeros(bucket, bool)
+            int_pad = np.zeros(bucket, np.float32)
+            pts_pad[:n] = pts
+            t_pad[:n] = (pts_t - rebase).astype(np.float32)
+            mask[:n] = True
+            int_pad[:n] = pts_i
 
-        imu_f = self._pad_imus_np(*self.accum.get_imus(self.last_time_integrated, t2), t2, rebase)
+            imu_f = self._pad_imus_np(*self.accum.get_imus(self.last_time_integrated, t2), t2, rebase)
         # path window: a SUPERSET from the host's lagged anchor lower bound;
         # the device masks to entries strictly after its own anchor_t.  Bound
         # the staleness first: a window outgrowing the largest configured IMU
@@ -323,11 +410,12 @@ class LioPipeline:
         while (self._pending
                and (t2 - self.anchor_t) * cfg.imu_rate + 4 > max_imu):
             self._resolve_one()
-        imu_p = self._pad_imus_np(*self.accum.get_imus(self.anchor_t, t2), t2, rebase)
+        with self.timers("assemble"):
+            imu_p = self._pad_imus_np(*self.accum.get_imus(self.anchor_t, t2), t2, rebase)
 
-        nxt = self.accum.get_next_imu(self.anchor_t)
-        anchor_a = nxt.a if nxt is not None else np.zeros(3, np.float32)
-        anchor_w = nxt.w if nxt is not None else np.zeros(3, np.float32)
+            nxt = self.accum.get_next_imu(self.anchor_t)
+            anchor_a = nxt.a if nxt is not None else np.zeros(3, np.float32)
+            anchor_w = nxt.w if nxt is not None else np.zeros(3, np.float32)
 
         # first time this (bucket, imu-window) shape combination appears, the
         # dispatch below COMPILES a new executable (and serializes it to the
@@ -339,19 +427,45 @@ class LioPipeline:
             self._seen_shapes.add(sig)
             self._quiesce()
 
-        # ONE host→device transfer for all per-step inputs (a tunneled TPU
-        # pays a full RPC round trip per buffer — see step.lio_step_packed)
-        packed = pack_host_inputs(
-            self.anchor_t - rebase, self.last_time_integrated - rebase,
-            t2 - rebase, anchor_a, anchor_w, imu_f, imu_p,
-            pts_pad, t_pad, mask,
-        )
-        out = lio_step_packed(
-            jnp.asarray(packed), self.x, self.P, self.anchor,
-            self.anchor_t_dev, self.Q, self.map, self.dyn,
-            n_pts=bucket, n_imu_f=len(imu_f[0]), n_imu_p=len(imu_p[0]),
-            static_cfg=self._static, grid=self.grid,
-        )
+        if self._sharded_step is not None:
+            # multi-chip dispatch: explicit StepInputs; jit + shard_map place
+            # each leaf per its PartitionSpec (points sharded, state/map per
+            # the factory's specs)
+            D = int(self.mesh.devices.size)
+            assert bucket % D == 0, (
+                f"point bucket {bucket} must divide across the {D}-device mesh")
+            inp = StepInputs(
+                anchor=self.anchor,
+                anchor_t=self.anchor_t_dev,
+                anchor_a=jnp.asarray(anchor_a, jnp.float32),
+                anchor_w=jnp.asarray(anchor_w, jnp.float32),
+                x=self.x, P=self.P,
+                t_integrated=jnp.float32(self.last_time_integrated - rebase),
+                imus_filter=ImuWindow(*(jnp.asarray(v) for v in imu_f)),
+                imus_path=ImuWindow(*(jnp.asarray(v) for v in imu_p)),
+                pts=jnp.asarray(pts_pad), pts_t=jnp.asarray(t_pad),
+                pts_mask=jnp.asarray(mask),
+                t2=jnp.float32(t2 - rebase), Q=self.Q, dyn=self.dyn,
+            )
+            out = self._sharded_step(inp, self.map)
+        else:
+            # ONE host→device transfer for all per-step inputs (a tunneled TPU
+            # pays a full RPC round trip per buffer — see step.lio_step_packed)
+            with self.timers("pack"):
+                packed = pack_host_inputs(
+                    self.anchor_t - rebase, self.last_time_integrated - rebase,
+                    t2 - rebase, anchor_a, anchor_w, imu_f, imu_p,
+                    pts_pad, t_pad, mask,
+                )
+            with self.timers("h2d"):
+                packed_dev = jnp.asarray(packed)
+            with self.timers("dispatch"):
+                out = lio_step_packed(
+                    packed_dev, self.x, self.P, self.anchor,
+                    self.anchor_t_dev, self.Q, self.map, self.dyn,
+                    n_pts=bucket, n_imu_f=len(imu_f[0]), n_imu_p=len(imu_p[0]),
+                    static_cfg=self._static, grid=self.grid,
+                )
 
         self.map = out.map
         self.x = out.x
@@ -367,40 +481,47 @@ class LioPipeline:
         # below the threshold, and such a window is NOT retried (documented
         # deviation from main.cpp:81's retry; resolution never moves the
         # bound backwards).
-        if n >= cfg.MAX_POINTS2MATCH:
+        advanced = n >= cfg.MAX_POINTS2MATCH
+        if advanced:
             self.last_time_updated = t2
+            # optimistic anchor bound advance (r5, the 17.8→100+ updates/s
+            # fix): when the raw count clears the threshold the device anchor
+            # advances to t2 unless the voxel downsample collapses the
+            # window (rare; counted in collapsed_windows).  Advancing the
+            # host's lower bound here keeps the IMU path-window staleness at
+            # ~one window, so the staleness loop above almost never forces a
+            # BLOCKING telemetry resolve (each cost a ~135 ms queue-drain
+            # RPC — the whole r4 "33× wall gap", see BENCH.md r05).  On the
+            # rare collapse, resolution detects it and rolls the bound back
+            # to the device truth; the affected in-flight windows deskewed
+            # with a degraded (late-anchored) path for a few steps.
+            self.anchor_t = max(self.anchor_t, t2)
             if self.last_map_time is None:
                 # offline-mapping cadence starts at the first update; anchor
                 # it to data time here so the schedule never depends on when
                 # the telemetry readback happens to land
                 self.last_map_time = t2
 
-        if self.publisher is not None:
-            if getattr(self.publisher, "wants_planes", False):
-                for a in (out.diag.plane_centroids, out.diag.plane_normals,
-                          out.diag.plane_valid):
-                    a.copy_to_host_async()
-            # cloud sinks read these at resolution; start their copies now
-            if getattr(self.publisher, "on_cloud", None) or (
-                cfg.mapping_mode == "online"
-                and getattr(self.publisher, "on_full_cloud", None)
-            ):
-                for a in (out.global_ds, out.global_ds_mask, out.global_ds_idx):
-                    a.copy_to_host_async()
-                if cfg.high_quality_publish:
-                    for a in (out.global_pts, out.global_mask):
-                        a.copy_to_host_async()
+        # NOTE (r5): cloud/plane sinks read their buffers with plain blocking
+        # device_get at resolution time.  The r4 design prefetched them here
+        # with copy_to_host_async — measured to STALL the degraded runtime's
+        # execution stream ~300 ms per call (probe_donate, BENCH.md r05);
+        # a blocking read of landed compute costs only the ~26 ms RPC.
         self._pending.append(_PendingStep(
             t2, rebase, out, anchor_a, anchor_w, out.telemetry,
             (_time.perf_counter() - wall0) * 1e3, int_pad,
-            _time.perf_counter(),
+            _time.perf_counter(), advanced,
         ))
         # one stacked device→host transfer per max_inflight steps: the
         # bookkeeping that needs telemetry resolves once the batch's copy
         # has LANDED (age ≥ readback_lag_s) — per-step transfers would pay
-        # a full RPC round trip each (see _TelemetryBatch)
-        if sum(1 for e in self._pending if e.batch is None) >= self.max_inflight:
-            self._close_batch()
+        # a full RPC round trip each (see _TelemetryBatch).  With
+        # readback_lag_s == 0 (CPU: reads are free) close EVERY dispatch so
+        # resolution really is the depth-1 cadence the docstring promises.
+        if not self.defer_readback:
+            close_at = 1 if self.readback_lag_s == 0 else self.max_inflight
+            if sum(1 for e in self._pending if e.batch is None) >= close_at:
+                self._close_batch()
 
         # Step 2 (offline mode): map every full rotation with final states
         # (main.cpp:107-117, Mapper::hasToMap).  Triggered at DISPATCH time —
@@ -435,36 +556,49 @@ class LioPipeline:
         open_entries = [e for e in self._pending if e.batch is None]
         if not open_entries:
             return None
-        stacked = _stack_telemetry([e.tel for e in open_entries])
-        stacked.copy_to_host_async()
-        batch = _TelemetryBatch(stacked, _time.perf_counter())
-        for i, e in enumerate(open_entries):
-            e.batch = batch
-            e.row = i
+        # chunk to a FIXED stack width so _stack_telemetry compiles once per
+        # max_inflight (a deferred flush would otherwise compile a fresh
+        # executable per run-length — minutes each through the TPU tunnel);
+        # short chunks pad by repeating the last entry (extra rows unused)
+        batch = None
+        K = self.max_inflight
+        for c0 in range(0, len(open_entries), K):
+            chunk = open_entries[c0:c0 + K]
+            tels = [e.tel for e in chunk] + [chunk[-1].tel] * (K - len(chunk))
+            with self.timers("close_batch"):
+                stacked = _stack_telemetry(tels)
+            batch = _TelemetryBatch(stacked, _time.perf_counter())
+            for i, e in enumerate(chunk):
+                e.batch = batch
+                e.row = i
         return batch
 
     def _resolve_ready(self) -> None:
-        """Resolve every pending step whose telemetry batch copy has had
-        time to land (age ≥ readback_lag_s); order-preserving, non-blocking
-        for young entries."""
+        """Resolve every pending step whose telemetry batch is READABLE
+        without waiting on device work: its compute has landed
+        (`fetch.is_ready()` — the exact signal) or it is already cached
+        host-side.  Age-gated reads (the r4 design) blocked ~135 ms each on
+        the queued device work in faster-than-real-time replays — the r4
+        "33× wall gap" (BENCH.md r05).  A hard age ceiling still forces a
+        blocking read so live consumers' record latency stays bounded."""
+        ceiling = max(10.0 * self.readback_lag_s, 0.5)
         while self._pending:
             b = self._pending[0].batch
-            if b is None or (_time.perf_counter() - b.dispatched_at
-                             < self.readback_lag_s):
+            if b is None:
+                return
+            age = _time.perf_counter() - b.dispatched_at
+            if b._host is None and not b.fetch.is_ready() and age < ceiling:
                 return
             self._resolve_one()
 
     def _resolve_all(self) -> Optional[StepRecord]:
-        """Drain the pending queue (flush).  Waits out the readback lag of
-        the youngest batch once, rather than paying a blocking RPC round
-        trip per entry (debug_readback3.lagread)."""
+        """Drain the pending queue (flush): wait the youngest batch's compute
+        out once, then read each batch back with one blocking device_get."""
         rec = None
         if self._pending:
             batch = self._close_batch() or self._pending[-1].batch
-            jax.block_until_ready(batch.fetch)
-            age = _time.perf_counter() - batch.dispatched_at
-            if age < self.readback_lag_s:
-                _time.sleep(self.readback_lag_s - age)
+            with self.timers("flush_wait"):
+                jax.block_until_ready(batch.fetch)
         while self._pending:
             rec = self._resolve_one()
         return rec
@@ -477,6 +611,12 @@ class LioPipeline:
         if self._pending[0].batch is None:
             self._close_batch()   # forced early (flush/horizon/shape change)
         pending = self._pending.popleft()
+        with self.timers("tele_read"):
+            tele = pending.batch.row(pending.row)
+        with self.timers("resolve_host"):
+            return self._resolve_entry(pending, tele)
+
+    def _resolve_entry(self, pending, tele) -> Optional[StepRecord]:
         (t2, rebase, out, anchor_a, anchor_w, wall_dispatch_ms, win_int) = (
             pending.t2, pending.rebase, pending.out, pending.anchor_a,
             pending.anchor_w, pending.wall_dispatch_ms, pending.win_int)
@@ -489,15 +629,26 @@ class LioPipeline:
                             TEL_MATCHES, TEL_P, TEL_R, TEL_RESIDUAL,
                             TEL_UPDATED, TEL_V)
 
-        tele = pending.batch.row(pending.row)
         updated = bool(tele[TEL_UPDATED] > 0.5)
+        if pending.advanced and not updated:
+            # raw count cleared MAX_POINTS2MATCH but the voxel downsample
+            # collapsed the window below it — those points were consumed
+            # without the reference's retry (see the optimistic advance in
+            # step_window); count it so the deviation is observable
+            self.collapsed_windows += 1
+            # the optimistic anchor-bound advance (step_window) was wrong for
+            # this window: roll back to the device truth (≤ optimistic — a
+            # LOWER bound is always safe, it only widens future windows)
+            if tele[TEL_ANCHOR_T] >= 0.0:
+                self.anchor_t = rebase + float(tele[TEL_ANCHOR_T])
         ds_count, n_matches = tele[TEL_DS_COUNT], tele[TEL_MATCHES]
         mean_res, iters = tele[TEL_RESIDUAL], tele[TEL_ITERS]
         R_h = tele[TEL_R].reshape(3, 3)
         p_h, v_h = tele[TEL_P], tele[TEL_V]
         # refresh the host's anchor-time lower bound from the device's truth
         # (the device anchor itself advanced at dispatch — see step_window)
-        if tele[TEL_ANCHOR_T] >= 0.0:
+        if (tele[TEL_ANCHOR_T] >= 0.0
+                and not (pending.advanced and not updated)):
             self.anchor_t = max(self.anchor_t, rebase + float(tele[TEL_ANCHOR_T]))
         if updated:
             # corrected state enters the state history (BUFFER_X push);

@@ -46,8 +46,13 @@ class SlamPipeline(LioPipeline):
         loop_min_index_gap: int = 20,
         loop_max_distance: float = 5.0,
         loop_max_rms: float = 0.15,
+        mesh=None,
+        shard: str = "points",
     ):
-        super().__init__(config, grid=grid, publisher=publisher)
+        # keyframing pulls the global cloud at resolution time — telemetry
+        # must resolve at the live cadence, not deferred to flush
+        super().__init__(config, grid=grid, publisher=publisher, mesh=mesh,
+                         shard=shard, defer_readback=False)
         self.keyframes = KeyframeStore(
             KeyframeSelector(kf_min_translation, kf_min_rotation_deg)
         )
@@ -71,11 +76,17 @@ class SlamPipeline(LioPipeline):
             self._maybe_keyframe(rec)
 
     def _maybe_keyframe(self, rec):
-        # gate FIRST on the pose (host floats from telemetry): materializing
-        # the scan is a full device→host cloud pull we skip for rejected
-        # frames.  Extrinsics come from the record's own telemetry, not
-        # self.x — with the depth-K readback pipeline self.x has advanced
-        # past rec's window by resolution time.
+        # scan availability first (cheap: a None device handle, no pull) —
+        # should_add advances the selector's reference pose on accept, so it
+        # must not run when the keyframe cannot actually be stored (ADVICE r4:
+        # a desynced selector suppresses later keyframes near the never-stored
+        # pose).  Then gate on the pose (host floats from telemetry) BEFORE
+        # materializing the scan — that is a full device→host cloud pull we
+        # skip for rejected frames.  Extrinsics come from the record's own
+        # telemetry, not self.x — with the depth-K readback pipeline self.x
+        # has advanced past rec's window by resolution time.
+        if getattr(self, "_last_gpts_dev", None) is None:
+            return
         if not self.keyframes.selector.should_add(rec.R, rec.p):
             return
         g = self._last_global_scan()
@@ -93,10 +104,6 @@ class SlamPipeline(LioPipeline):
 
     def _last_global_scan(self) -> Optional[np.ndarray]:
         return getattr(self, "_last_gpts", None)
-
-    # pipeline hook: capture the published global window
-    def _capture_global(self, gpts):
-        self._last_gpts = gpts
 
     # ------------------------------------------------------------------
     def _check_loops(self):

@@ -85,3 +85,48 @@ class TestEndToEnd:
         assert len(res.records) > 30
         rmse, _ = ate_rmse(res.times, res.positions, sim.gt_t, sim.gt_R, sim.gt_p)
         assert rmse < 0.30, f"circle ATE RMSE {rmse:.3f} m"
+
+    def test_warmup_schedule_boundary(self, sim_config):
+        """Offline (real_time=False) replay crossing an Initialization.times
+        edge: `update_delta` is evaluated twice per spin with different
+        arguments (pipeline.spin_once, matching main.cpp:63-66) — the window
+        that STRADDLES the boundary advances by the OLD delta but is cut to
+        the NEW delta, dropping the sliver in between (t1 = max(t2−delta,
+        last_updated), main.cpp:69).  Lock the schedule: steps of the old
+        delta before the edge, the new delta after, exactly one transition,
+        strictly increasing times, accuracy unaffected (VERDICT r4 weak#9)."""
+        from limovelo_tpu.config import InitializationParams
+
+        # edge at 0.95 s — OFF the 0.1 s step grid, so one window genuinely
+        # straddles it: it advances 0.1 from rel=0.9 but is cut to the new
+        # delta 0.02, dropping the (0.9, 0.98] sliver exactly as the
+        # reference does
+        cfg = sim_config.replace(
+            Initialization=InitializationParams(times=(0.95,),
+                                                deltas=(0.1, 0.02)),
+        )
+        traj = circle_trajectory(radius=4.0, omega=0.4, ramp=1.0, hold=0.5)
+        world = room_world(size=24.0, n_boxes=10)
+        sim = simulate(world, traj, cfg, duration=4.0, lidar_lines=12,
+                       pts_per_line=180, imu_rate=200.0, seed=7)
+        pipe = run_pipeline(cfg, sim)
+        res = pipe.result
+        ts = res.times
+        assert (np.diff(ts) > 0).all(), "record times must strictly increase"
+        t0 = pipe.accum.initial_time
+        rel = ts - t0
+        d = np.diff(ts)
+        # classify each step by the delta in force at its START time: steps
+        # FROM rel<0.95 advance by 0.1 (old delta — including the straddling
+        # one from rel=0.9), steps from rel>=0.95 advance by 0.02
+        before = d[(rel[:-1] < 0.95 - 1e-9)]
+        after = d[(rel[:-1] >= 0.95 - 1e-9)]
+        assert len(before) >= 5 and len(after) >= 20
+        np.testing.assert_allclose(before, 0.1, atol=1e-6)
+        np.testing.assert_allclose(after, 0.02, atol=1e-6)
+        # windows remain valid across the shrink: every record is an accepted
+        # update with a real match set (the first builds the map — 0 matches
+        # against an empty map by construction)
+        assert all(r.num_matches > 0 for r in res.records[1:])
+        rmse, _ = ate_rmse(ts, res.positions, sim.gt_t, sim.gt_R, sim.gt_p)
+        assert rmse < 0.15, f"warm-up boundary ATE {rmse:.3f} m"
