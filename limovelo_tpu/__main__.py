@@ -131,7 +131,13 @@ def _make_pipe(cfg, args):
         if args.hd_map:
             raise SystemExit("--loop-closure with --hd-map is not supported "
                              "(prelocalization runs against a frozen map)")
-        return SlamPipeline(cfg, mesh=mesh)
+        return SlamPipeline(
+            cfg, mesh=mesh,
+            kf_min_translation=getattr(args, "kf_min_translation", 2.0),
+            loop_min_index_gap=getattr(args, "loop_min_gap", 20),
+            loop_max_distance=getattr(args, "loop_max_distance", 5.0),
+            loop_max_rms=getattr(args, "loop_max_rms", 0.15),
+        )
     if args.hd_map:
         return LioPipeline.from_hd_map(cfg, args.hd_map)
     return LioPipeline(cfg, mesh=mesh, shard=getattr(args, "shard", "points"))
@@ -204,6 +210,14 @@ def main(argv=None):
         sp.add_argument("--loop-closure", action="store_true",
                         help="SLAM mode: keyframes + loop closure + pose-graph "
                              "backend; exports raw AND optimized trajectories")
+        sp.add_argument("--kf-min-translation", type=float, default=2.0,
+                        help="keyframe spacing (m) in SLAM mode")
+        sp.add_argument("--loop-min-gap", type=int, default=20,
+                        help="min keyframe index gap for loop candidates")
+        sp.add_argument("--loop-max-distance", type=float, default=5.0,
+                        help="max revisit distance (m) for loop candidates")
+        sp.add_argument("--loop-max-rms", type=float, default=0.15,
+                        help="max registration RMS (m) to accept a closure")
 
     sp = sub.add_parser("run", help="replay a ROS1 bag")
     common(sp)
@@ -220,6 +234,8 @@ def main(argv=None):
     sp.add_argument("--world", default="corridor", choices=["corridor", "room"])
     sp.add_argument("--duration", type=float, default=10.0)
     sp.add_argument("--speed", type=float, default=5.0)
+    sp.add_argument("--omega", type=float, default=0.5,
+                    help="room world: circle angular rate (rad/s)")
 
     sp = sub.add_parser("eval", help="regenerate EVAL.md (accuracy battery)")
     sp.add_argument("--out", default="EVAL.md")
@@ -314,7 +330,7 @@ def main(argv=None):
         if args.world == "corridor":
             world, traj = corridor_world(length=200.0), corridor_trajectory(speed=args.speed)
         else:
-            world, traj = room_world(), circle_trajectory()
+            world, traj = room_world(), circle_trajectory(omega=args.omega)
         sim = simulate(world, traj, cfg, duration=args.duration)
         replay_into(pipe, sim)
         from limovelo_tpu.runtime.evaluate import ate_rmse

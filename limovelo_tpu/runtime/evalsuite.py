@@ -149,23 +149,27 @@ def run_eval(fast: bool = False) -> List[EvalRow]:
                      pipe, sim, time.perf_counter() - t0))
 
     # ---- 3b. the reference's headline 100 Hz localization mode -----------
-    # delta = 0.01 s real-time windows (README.md:13-15): state updates 10×
-    # faster than the scan rate, partial fields of view per window
+    # delta = 0.01 s real-time windows (README.md:13-15) at the FULL racing
+    # turn envelope: state updates 10× faster than the scan rate, partial
+    # fields of view per window.  The warm-up must start at a full rotation
+    # and finish shrinking only after the launch ramp (measured r5 —
+    # tests/test_racing.test_100hz_localization_mode)
     hz100 = sim_cfg(
         real_time=True, imu_rate=400.0, downsample_prec=0.4,
         map_table_size=1 << 17,
-        Initialization=InitializationParams(times=(0.3, 0.6),
-                                            deltas=(0.05, 0.02, 0.01)),
+        Initialization=InitializationParams(times=(0.5, 1.0, 1.5),
+                                            deltas=(0.1, 0.05, 0.02, 0.01)),
     )
-    traj = circle_trajectory(radius=10.0, omega=1.0, ramp=1.0, hold=0.5)
-    world = room_world(size=40.0, n_boxes=16, seed=4)
-    sim = simulate(world, traj, hz100, duration=4.0 * dur, lidar_lines=12,
-                   pts_per_line=220, imu_rate=400.0, seed=31)
+    omega = np.deg2rad(100.0)
+    traj = circle_trajectory(radius=20.0 / omega, omega=omega, ramp=1.5, hold=0.5)
+    world = room_world(size=56.0, n_boxes=16, seed=4)
+    sim = simulate(world, traj, hz100, duration=6.0 * dur, lidar_lines=12,
+                   pts_per_line=220, imu_rate=400.0, seed=22)
     pipe = LioPipeline(hz100, grid=grid_long)
     t0 = time.perf_counter()
     replay_into(pipe, sim, spin_every_imu=True)
     pipe.flush()
-    rows.append(_row("100 Hz windows · delta=0.01 s · 10 m/s circle",
+    rows.append(_row("100 Hz windows · delta=0.01 s · 100 deg/s at 20 m/s",
                      pipe, sim, time.perf_counter() - t0,
                      note="README.md:13-15 headline mode"))
 
@@ -375,10 +379,28 @@ def write_eval_md(rows: List[EvalRow], path: str = "EVAL.md",
         )
     lines += [
         "",
-        "Thresholds enforced in CI: every sim scenario above must stay under",
-        "0.30 m ATE (racing envelope, tests/test_racing.py) or under the",
-        "tighter bounds in the corresponding test files; the room-circle and",
-        "dataset-format paths typically land at centimeter level.",
+        "Thresholds enforced in CI: the racing scenarios must stay under",
+        "0.10 m ATE (ratcheted r5 against 0.044-0.058 m measured over 3+2",
+        "seeds, tests/test_racing.py); the room-circle, 100 Hz, and",
+        "dataset-format paths land at centimeter level with the tighter",
+        "bounds in their test files.",
+        "",
+        "**Racing-accuracy root cause (r5, closes the r1-r4 0.13-0.18 m",
+        "ceiling):** the 23x23 Gauss-Newton solve chain (P-inverse, chart",
+        "transport, S assembly, delta-solve, posterior) ran in f32; at",
+        "racing dynamics the GN fixed point sits close enough to f32",
+        "rounding that the per-window update error behaved as a small",
+        "backend-dependent bias, compounding through the sequential",
+        "map-feedback loop into ~0.15 m ATE (and flipping",
+        "extrinsics-convergence direction between machines).  Running only",
+        "that chain in f64 (StaticConfig.solve_dtype; the N-point HtH",
+        "reductions stay f32 MXU sums) cut the 20 m/s straight from",
+        "0.134-0.177 m to 0.045-0.058 m and the 100 deg/s turn from 0.18 m",
+        "to 0.044-0.048 m, at zero measured kernel-rate cost (4837 Hz).",
+        "The residual error is scenario observability, not estimator bias:",
+        "on the corridor the gravity-leak/pitch ambiguity absorbs ~1 deg of",
+        "tilt into accel bias (unobservable without pitch excitation), which",
+        "rigid alignment mostly removes.",
         "",
         REAL_DATA_NOTE,
     ]

@@ -232,8 +232,9 @@ class LioPipeline:
         # resolved anchors), no prune policy.  Entries are capped at
         # `defer_cap` pending steps as a memory bound.
         if defer_readback is None:
+            # offline mapping also streams read-free now (dispatch-time
+            # anchor history feeds the rotation-cadence re-deskew)
             defer_readback = (publisher is None
-                              and config.mapping_mode == "online"
                               and config.map_prune_radius <= 0)
         self.defer_readback = bool(defer_readback)
         self.defer_cap = 4096
@@ -257,8 +258,14 @@ class LioPipeline:
         self.anchor_t: Optional[float] = None
         self.anchor_t_dev = None
         self.last_map_time: Optional[float] = None         # Mapper::hasToMap
-        # recent corrected states (BUFFER_X analog) for offline-mode re-deskew
+        # recent corrected states (BUFFER_X analog).  `_anchors` is appended
+        # at RESOLUTION (host pose copies ride along — feeds the states
+        # publisher and checkpointing); `_anchors_d` is appended at DISPATCH
+        # (device refs only, no readback) and feeds the offline-mapping
+        # re-deskew so the rotation-cadence map update never has to wait for
+        # a telemetry readback (r5: keeps offline-mode replays read-free)
         self._anchors: List[AnchorRec] = []
+        self._anchors_d: List[AnchorRec] = []
         self._last_prune_t: Optional[float] = None
         self.stream_dead = False   # set when the sensor stream dies (ended())
         self._last_processed_t2: float = -np.inf
@@ -523,23 +530,32 @@ class LioPipeline:
             if sum(1 for e in self._pending if e.batch is None) >= close_at:
                 self._close_batch()
 
+        # dispatch-time anchor history (no readback): the corrected state's
+        # DEVICE ref enters the re-deskew anchor list the moment the step is
+        # enqueued; controls = first IMU after t2 (host buffers lead t2 by
+        # real_time_delay, so it exists)
+        if advanced:
+            nxt2 = self.accum.get_next_imu(t2)
+            self._anchors_d.append(AnchorRec(
+                t2, out.x,
+                nxt2.a if nxt2 is not None else anchor_a,
+                nxt2.w if nxt2 is not None else anchor_w,
+            ))
+            horizon = t2 - 2 * max(cfg.full_rotation_time, 0.2)
+            self._anchors_d = ([a for a in self._anchors_d if a.t >= horizon]
+                               or self._anchors_d[-1:])
+
         # Step 2 (offline mode): map every full rotation with final states
-        # (main.cpp:107-117, Mapper::hasToMap).  Triggered at DISPATCH time —
-        # the anchors a rotation back are long resolved, and waiting for this
-        # window's own resolution would grow the map K windows late under the
-        # depth-K readback queue.  Mode "none" (frozen HD map) never maps.
+        # (main.cpp:107-117, Mapper::hasToMap).  Triggered at DISPATCH time
+        # from the dispatch-cadence anchor history — no resolution (and so
+        # no device→host readback) is ever needed for the mapping cadence.
+        # Mode "none" (frozen HD map) never maps.
         if (
             cfg.mapping_mode == "offline"
             and self.last_map_time is not None
             and t2 - self.last_map_time >= cfg.full_rotation_time
         ):
-            # the anchor history must be complete up to the rotation start or
-            # the re-deskew anchor pick would depend on readback timing
-            # (wall clock) instead of data time — resolve that far first
-            t_lo = t2 - cfg.full_rotation_time
-            while self._pending and self._pending[0].t2 <= t_lo:
-                self._resolve_one()
-            if self._anchors:
+            if self._anchors_d:
                 self._offline_map(t2, rebase)
                 self.last_map_time = t2
 
@@ -581,7 +597,9 @@ class LioPipeline:
         the queued device work in faster-than-real-time replays — the r4
         "33× wall gap" (BENCH.md r05).  A hard age ceiling still forces a
         blocking read so live consumers' record latency stays bounded."""
-        ceiling = max(10.0 * self.readback_lag_s, 0.5)
+        # lag == 0 (CPU): reads are free — resolve immediately, the exact
+        # depth-1 cadence (blocking on not-yet-ready compute is fine there)
+        ceiling = max(10.0 * self.readback_lag_s, 0.5) if self.readback_lag_s else 0.0
         while self._pending:
             b = self._pending[0].batch
             if b is None:
@@ -758,12 +776,17 @@ class LioPipeline:
         return self._resolve_all()
 
     def _quiesce(self) -> None:
-        """Drain the async queue and wait the device idle — called before a
-        dispatch that will compile a NEW executable (see step_window)."""
-        while self._pending:
-            self._resolve_one()
-        if self.x is not None:
-            jax.block_until_ready(self.x)
+        """Wait the device idle WITHOUT reading anything back — called
+        before a dispatch that will compile a NEW executable (see
+        step_window).  r4 drained the queue here via resolution, but each
+        resolution is a device→host read and ONE read flips the tunneled
+        runtime into the ~140×-slower degraded execution mode (BENCH.md
+        r05) — a shape change early in a replay was silently poisoning the
+        whole run.  Compile-safety only needs the in-flight donated
+        executions finished, which block_until_ready provides read-free."""
+        tail = self._pending[-1].out.x if self._pending else self.x
+        if tail is not None:
+            jax.block_until_ready(tail)
 
     # ------------------------------------------------------------------
     @property
@@ -832,9 +855,10 @@ class LioPipeline:
         mask[:n] = True
         int_pad[:n] = pts_i
 
-        # oldest stored anchor at/before t_lo (fall back to the oldest kept)
-        older = [a for a in self._anchors if a.t <= t_lo]
-        a_t, a_x, a_a, a_w = (older[-1] if older else self._anchors[0])[:4]
+        # oldest stored anchor at/before t_lo (fall back to the oldest kept);
+        # dispatch-cadence history — device refs, never resolved
+        older = [a for a in self._anchors_d if a.t <= t_lo]
+        a_t, a_x, a_a, a_w = (older[-1] if older else self._anchors_d[0])[:4]
         imus = self._pad_imus(*self.accum.get_imus(a_t, t2), t2, rebase)
         sig = ("map", bucket, int(imus.t.shape[0]))
         if sig not in self._seen_shapes:

@@ -80,7 +80,7 @@ class TestRacingEnvelope:
         v_max = max(float(np.linalg.norm(rec.v)) for rec in res.records)
         assert v_max > 18.0, f"never reached racing speed (peak {v_max:.1f} m/s)"
         rmse, _ = ate_rmse(res.times, res.positions, sim.gt_t, sim.gt_R, sim.gt_p)
-        assert rmse < 0.30, f"20 m/s straight ATE {rmse:.3f} m"
+        assert rmse < 0.10, f"20 m/s straight ATE {rmse:.3f} m"  # measured 0.045-0.058 over seeds 21/5/99 (r5)
 
     def test_turn_100degs_at_20ms(self):
         """100 deg/s sustained turn AT 20 m/s (harder than the reference's
@@ -96,37 +96,51 @@ class TestRacingEnvelope:
         res = pipe.result
         assert len(res.records) > 80
         rmse, _ = ate_rmse(res.times, res.positions, sim.gt_t, sim.gt_R, sim.gt_p)
-        assert rmse < 0.30, f"100 deg/s @ 20 m/s ATE {rmse:.3f} m"
+        assert rmse < 0.10, f"100 deg/s @ 20 m/s ATE {rmse:.3f} m"  # measured 0.044-0.048 over seeds 22/7 (r5)
 
     def test_100hz_localization_mode(self):
         """The reference's headline mode: `delta = 0.01 s` → 100 Hz state
         updates, localization FASTER than the 10 Hz scan rate with partial
         fields of view (`/root/reference/README.md:13-15`).  Warm-up schedule
         terminates at 0.01 (the `Initialization.deltas` analog of
-        config/params.yaml); real-time windows chained at IMU granularity.
-        VERDICT r4 #3/#4: this mode must run END TO END, not only as a
-        kernel-rate extrapolation."""
+        config/params.yaml — note NO shipped reference config goes below
+        0.02; this exceeds them); the geometry is the PROVEN racing-turn
+        envelope (100 deg/s AT 20 m/s).  Real-time windows chained at IMU
+        granularity.  VERDICT r4 #3/#4: this mode must run END TO END, not
+        only as a kernel-rate extrapolation.  Measured r5 on the real chip:
+        ATE 0.044 m at exactly 100.0 updates/s of data time.
+
+        Two r5 findings shape the schedule (debug_100hz* sweeps): the
+        warm-up must START at a full rotation (delta=0.1, as every shipped
+        reference config does — bootstrapping the map from half-rotation
+        wedges under the σ=1 m initial position prior let the GN walk ±2 m
+        between self-consistent poses and poisoned the map), and the shrink
+        to 0.01 must COMPLETE only after the launch ramp — shrinking
+        mid-ramp couples the window shrink with peak acceleration and the
+        estimator never recovers the transient."""
         cfg = racing_cfg(
             Initialization=InitializationParams(
-                times=(0.3, 0.6), deltas=(0.05, 0.02, 0.01)),
+                times=(0.5, 1.0, 1.5), deltas=(0.1, 0.05, 0.02, 0.01)),
         )
-        omega = 1.0   # 10 m/s on a 10 m circle — substantial dynamics
-        traj = circle_trajectory(radius=10.0, omega=omega, ramp=1.0, hold=0.5)
-        world = room_world(size=40.0, n_boxes=16, seed=4)
-        sim = simulate(world, traj, cfg, duration=4.0, lidar_lines=12,
-                       pts_per_line=220, imu_rate=400.0, seed=31)
+        omega = np.deg2rad(100.0)
+        traj = circle_trajectory(radius=20.0 / omega, omega=omega, ramp=1.5,
+                                 hold=0.5)
+        world = room_world(size=56.0, n_boxes=16, seed=4)
+        sim = simulate(world, traj, cfg, duration=6.0, lidar_lines=12,
+                       pts_per_line=220, imu_rate=400.0, seed=22)
         pipe = LioPipeline(cfg, grid=GRID_LONG)
         replay_into(pipe, sim, spin_every_imu=True)
         res = pipe.result
         # steady state begins once the warm-up schedule reaches delta=0.01
-        t_steady = res.records[0].t + 0.8
+        # (edge at rel 1.5; first record sits at rel ~0.1)
+        t_steady = res.records[0].t + 1.55
         steady = [r for r in res.records if r.t >= t_steady]
         assert len(steady) > 100
         span = steady[-1].t - steady[0].t
         rate = (len(steady) - 1) / span
         assert rate > 85.0, f"100 Hz mode delivers {rate:.1f} updates/s of data time"
         rmse, _ = ate_rmse(res.times, res.positions, sim.gt_t, sim.gt_R, sim.gt_p)
-        assert rmse < 0.10, f"100 Hz mode ATE {rmse:.3f} m"
+        assert rmse < 0.10, f"100 Hz mode ATE {rmse:.3f} m"  # measured 0.044 (r5, TPU)
 
     def test_online_extrinsics_convergence(self):
         """estimate_extrinsics=True (config/xaloc.yaml): the sim renders with
@@ -186,4 +200,4 @@ class TestRacingEnvelope:
         assert t_err < t_err0, f"extr trans {t_err:.3f} m ≥ init {t_err0:.3f} m"
         # and the trajectory itself stays accurate despite the wrong guess
         rmse, _ = ate_rmse(res.times, res.positions, sim.gt_t, sim.gt_R, sim.gt_p)
-        assert rmse < 0.40, f"extrinsics-run ATE {rmse:.3f} m"
+        assert rmse < 0.15, f"extrinsics-run ATE {rmse:.3f} m"  # measured ~0.05 (r5)
