@@ -203,6 +203,10 @@ def load_checkpoint(path: str, pipe) -> None:
             )
             for i in range(len(ts))
         ]
+        # the offline-mapping re-deskew reads the DISPATCH-cadence history
+        # (`_anchors_d`, r5) — seed it from the restored anchors so a resumed
+        # run maps exactly like the uninterrupted one
+        pipe._anchors_d = list(pipe._anchors)
 
     # accumulator tail — the buffered sensors the next windows consume
     if "acc_imu_t" in d:

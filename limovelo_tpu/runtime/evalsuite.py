@@ -400,7 +400,12 @@ def write_eval_md(rows: List[EvalRow], path: str = "EVAL.md",
         "The residual error is scenario observability, not estimator bias:",
         "on the corridor the gravity-leak/pitch ambiguity absorbs ~1 deg of",
         "tilt into accel bias (unobservable without pitch excitation), which",
-        "rigid alignment mostly removes.",
+        "rigid alignment mostly removes.  A backend spread remains on the",
+        "corridor specifically: CPU lands 0.045-0.058 m (z-sink mode) while",
+        "TPU lands ~0.134 m (a 0.37% along-track scale deficit; z stable) —",
+        "the weakly-observed directions drift differently under each",
+        "backend's f32 rounding.  The 0.10 m CI bound applies to the CPU",
+        "suite; both modes sit far inside the reference's envelope.",
         "",
         REAL_DATA_NOTE,
     ]

@@ -181,8 +181,12 @@ class LioPipeline:
     dispatch, so resolution runs at the depth-1 cadence), 50 ms on
     accelerators.  With a nonzero lag, a batch resolves as soon as its
     compute has landed (`is_ready()`), or unconditionally at the 10×lag age
-    ceiling (bounds live-record latency).  Both knobs are no-ops for
-    correctness — resolution is order-preserving and flush() drains."""
+    ceiling (bounds live-record latency).  `defer_readback` (auto: on when
+    no publisher and no prune policy) postpones ALL telemetry reads to
+    flush() so a replay streams at clean-mode speed on the tunneled TPU
+    runtime (see the class comments / BENCH.md r05).  All three knobs are
+    no-ops for correctness — resolution is order-preserving and flush()
+    drains."""
 
     def __init__(self, config, grid: Optional[GridParams] = None, publisher=None,
                  max_inflight: int = 8, readback_lag_s: Optional[float] = None,
