@@ -186,9 +186,11 @@ def sec_kernel():
     p50_r1 = _time_step(ctx_r1)
     print(f"[kernel] rings=1 (27-bucket, exact to 0.8 m):  "
           f"p50={p50_r1*1e3:.3f} ms  {1.0/p50_r1:.0f} Hz", flush=True)
+    delta_pct = (p50_prod / p50_r1 - 1) * 100
     print(f"[kernel] full-gate KNN coverage costs "
-          f"{(p50_prod/p50_r1 - 1)*100:.1f}% step latency on the dense scene "
-          f"(see [fidelity] for what it buys)")
+          f"{delta_pct:+.1f}% step latency on the dense scene "
+          f"(within run-to-run noise when ~0; see [fidelity] for what the "
+          f"coverage buys)")
     # scans/s per chip: a FULL-ROTATION window (0.1 s of data at Velodyne
     # scale: ~32k pts/rotation ÷ downsample_rate 4 ≈ 8k raw points, 40 IMU
     # samples at 400 Hz).  The C++ baseline proxy: the reference consumes
@@ -255,7 +257,8 @@ def sec_detail():
     print(f"[readback] first device->host read: {first_read_ms:.1f} ms; "
           f"blocking dispatch after it: p50={p50_poisoned*1e3:.2f} ms "
           f"(the degraded mode — r03 recorded THIS number; the pipeline "
-          f"amortizes it with depth-K async readback)", flush=True)
+          f"sidesteps it entirely with defer-readback streaming, r5)",
+          flush=True)
 
     # sparse-map rings fidelity
     grid = GridParams.from_config(cfg)

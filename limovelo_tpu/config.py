@@ -71,7 +71,7 @@ class DynParams(NamedTuple):
     LIMITS: object
     downsample_prec: object
     MAX_POINTS2MATCH: object      # i32 scalar
-    match_refresh_m: object = 0.1  # "auto" match-mode re-search threshold (m)
+    match_refresh_m: object = 0.05  # "auto" match-mode re-search threshold (m)
 
     @classmethod
     def from_config(cls, c: "Config") -> "DynParams":
@@ -279,9 +279,16 @@ class Config:
     match_mode: str = "auto"         # "auto" | "freeze" | "rematch"
     # "auto" re-search trigger: upper bound (m) on how far any window point's
     # global placement may drift from where its neighbors were last searched
-    # before the KNN re-runs (half the map voxel: staleness can never reach
-    # the scale at which a re-search would pick different fine cells).
-    match_refresh_m: float = 0.10
+    # before the KNN re-runs.  r5 RE-TUNED 0.10 → 0.05: the bound must sit
+    # below the per-window INNOVATION scale, not the map-voxel scale — at
+    # 20 m/s the GN correction regularly exceeds 5 cm, and a 10 cm bound
+    # froze matching at the predicted (short) pose, accumulating a ~0.3%
+    # along-track scale deficit (TPU corridor ATE 0.134 at 0.10).  Sweep on
+    # the real chip: corridor 0.134/0.060/0.054 m and turn 0.051/0.041/0.087
+    # at 0.10/0.05/0.02 — 0.05 wins both (also beats full rematch's 0.064
+    # corridor at a third of the match traffic); converged steady-state
+    # steps still pay ONE gather (cruise innovations are millimeters).
+    match_refresh_m: float = 0.05
     point_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192, 16384)
     ds_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
     imu_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)

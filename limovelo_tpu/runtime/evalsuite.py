@@ -400,12 +400,15 @@ def write_eval_md(rows: List[EvalRow], path: str = "EVAL.md",
         "The residual error is scenario observability, not estimator bias:",
         "on the corridor the gravity-leak/pitch ambiguity absorbs ~1 deg of",
         "tilt into accel bias (unobservable without pitch excitation), which",
-        "rigid alignment mostly removes.  A backend spread remains on the",
-        "corridor specifically: CPU lands 0.045-0.058 m (z-sink mode) while",
-        "TPU lands ~0.134 m (a 0.37% along-track scale deficit; z stable) —",
-        "the weakly-observed directions drift differently under each",
-        "backend's f32 rounding.  The 0.10 m CI bound applies to the CPU",
-        "suite; both modes sit far inside the reference's envelope.",
+        "rigid alignment mostly removes.  A second r5 fix closed the last",
+        "backend spread: the auto match-mode's re-search trigger",
+        "(match_refresh_m) at its old 0.10 m froze matching at the predicted",
+        "(short) pose whenever per-window GN corrections stayed under 10 cm,",
+        "accumulating a ~0.3% along-track scale deficit at 20 m/s (TPU",
+        "corridor 0.134 m).  Re-tuned to 0.05 m — below the racing-speed",
+        "innovation scale (chip sweep: corridor 0.134/0.060/0.054 m and turn",
+        "0.051/0.041/0.087 m at 0.10/0.05/0.02) — both racing rows land at",
+        "centimeter level, at one KNN gather per converged step.",
         "",
         REAL_DATA_NOTE,
     ]
